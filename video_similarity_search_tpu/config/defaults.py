@@ -1,0 +1,150 @@
+"""Default configuration tree.
+
+Key names and defaults mirror the reference config
+(reference config/default_params.py:5-170) so that the shipped experiment
+YAMLs (config/custom_configs/*.yaml) merge unchanged. TPU-specific knobs
+live under ``TPU``.
+"""
+
+from .node import ConfigNode
+
+
+def _build_default_cfg() -> ConfigNode:
+    _C = ConfigNode()
+
+    # -- Training (reference config/default_params.py:11-19) ---------------
+    _C.TRAIN = ConfigNode()
+    _C.TRAIN.EPOCHS = 300
+    _C.TRAIN.BATCH_SIZE = 16
+    _C.TRAIN.DATASET = "ucf101"
+    _C.TRAIN.NUM_DATA_WORKERS = 4
+    _C.TRAIN.LOG_INTERVAL = 5
+    _C.TRAIN.EVAL_BATCH_SIZE = False
+
+    # -- Validation (:24-27) ------------------------------------------------
+    _C.VAL = ConfigNode()
+    _C.VAL.METRIC = "global"  # or 'local_batch'
+    _C.VAL.BATCH_SIZE = 80
+    _C.VAL.LOG_INTERVAL = 5
+
+    # -- Test (:32) ----------------------------------------------------------
+    _C.TEST = ConfigNode()
+
+    # -- Model (:40-43) --------------------------------------------------------
+    _C.MODEL = ConfigNode()
+    _C.MODEL.ARCH = "slowfast"  # {3dresnet, slowfast, info_nce, uber_nce, s3d, r3d}
+    _C.MODEL.PREDICT_TEMPORAL_DS = False
+
+    # -- Dataset (:48-70) -----------------------------------------------------
+    _C.DATASET = ConfigNode()
+    _C.DATASET.VID_PATH = ""
+    _C.DATASET.ANNOTATION_PATH = ""
+    _C.DATASET.CLUSTER_PATH = ""
+    _C.DATASET.TARGET_TYPE_T = "label"  # [label, cluster_label]
+    _C.DATASET.TARGET_TYPE_V = "label"
+    _C.DATASET.SAMPLING_STRATEGY = "random_semi_hard"
+    _C.DATASET.POSITIVE_SAMPLING_P = 0.8
+    _C.DATASET.CHANNEL_EXTENSIONS = ""
+    _C.DATASET.KEYPOINT_PATH = ""
+    _C.DATASET.SALIENT_PATH = ""
+    _C.DATASET.OPTICAL_U_PATH = ""
+    _C.DATASET.OPTICAL_V_PATH = ""
+    _C.DATASET.MODALITY = False
+    _C.DATASET.POS_CHANNEL_REPLACE = False
+    _C.DATASET.PROB_POS_CHANNEL_REPLACE = 0.25
+    _C.DATASET.RECONSTRUCTION = False
+
+    # -- SlowFast (:76-79); pyslowfast sub-config keys folded in here ---------
+    # (reference keeps a second vendored CfgNode tree merged from
+    # SLOWFAST.CFG_PATH — models/slowfast/slowfast/config/defaults.py; the
+    # keys the models actually consume are promoted to first-class keys).
+    _C.SLOWFAST = ConfigNode()
+    _C.SLOWFAST.CFG_PATH = ""
+    _C.SLOWFAST.ALPHA = 4
+    _C.SLOWFAST.FAST_MASK = False
+    _C.SLOWFAST.BETA_INV = 8
+    _C.SLOWFAST.FUSION_CONV_CHANNEL_RATIO = 2
+    _C.SLOWFAST.FUSION_KERNEL_SZ = 7
+    _C.SLOWFAST.DEPTH = 50
+    _C.SLOWFAST.NUM_FRAMES = 32
+    _C.SLOWFAST.CROP_SIZE = 224
+    _C.SLOWFAST.PROJECTION_HEAD = True
+    _C.SLOWFAST.OUT_DIM = 128
+    _C.SLOWFAST.NUM_CLASSES = 400
+    _C.SLOWFAST.DROPOUT_RATE = 0.5
+
+    # -- 3D ResNet (:85-97) -----------------------------------------------------
+    _C.RESNET = ConfigNode()
+    _C.RESNET.MODEL_DEPTH = 18
+    _C.RESNET.N_CLASSES = 101
+    _C.RESNET.PROJECTION_HEAD = True
+    _C.RESNET.HIDDEN_LAYER = 2048
+    _C.RESNET.OUT_DIM = 128
+    _C.RESNET.SHORTCUT = "B"
+    _C.RESNET.CONV1_T_SIZE = 7
+    _C.RESNET.CONV1_T_STRIDE = 1
+    _C.RESNET.NO_MAX_POOl = True  # sic — key name kept for YAML compatibility
+    _C.RESNET.WIDEN_FACTOR = 1
+    _C.RESNET.ATTENTION = False
+
+    # -- Data (:102-114) -----------------------------------------------------------
+    _C.DATA = ConfigNode()
+    _C.DATA.SAMPLE_SIZE = 224
+    _C.DATA.SAMPLE_DURATION = 8
+    _C.DATA.INPUT_CHANNEL_NUM = 3
+    _C.DATA.TEMPORAL_CROP = "center"  # ['center', 'random', 'avg']
+
+    # -- Loss (:119-140) --------------------------------------------------------------
+    _C.LOSS = ConfigNode()
+    _C.LOSS.TYPE = "triplet"
+    _C.LOSS.MARGIN = 0.2
+    _C.LOSS.DIST_METRIC = "cosine"  # or 'euclidean'
+    _C.LOSS.K = 1024  # num of negatives (NCE)
+    _C.LOSS.T = 0.07  # temperature
+    _C.LOSS.M = 0.5  # memory-bank momentum
+    _C.LOSS.FEAT_DIM = 128
+    _C.LOSS.RELATIVE_SPEED_PERCEPTION = False
+    _C.LOSS.LOCAL_LOCAL_CONTRAST = False
+    _C.LOSS.LOCAL_LOCAL_WEIGHT = 1.0
+    _C.LOSS.LOCAL_LOCAL_MARGIN = 0.04
+    _C.LOSS.INTRA_NEGATIVE = False
+
+    # -- Optimizer (:145-150) --------------------------------------------------------------
+    _C.OPTIM = ConfigNode()
+    _C.OPTIM.OPTIMIZER = "sgd"
+    _C.OPTIM.WD = 0.00001
+    _C.OPTIM.LR = 0.01
+    _C.OPTIM.MOMENTUM = 0.5
+    _C.OPTIM.SCHEDULE = []
+
+    # -- Iterative clustering (:155-163) -----------------------------------------------------
+    _C.ITERCLUSTER = ConfigNode()
+    _C.ITERCLUSTER.METHOD = "kmeans"
+    _C.ITERCLUSTER.INTERVAL = 5
+    _C.ITERCLUSTER.K = 1000
+    _C.ITERCLUSTER.ADAPTIVEP = False
+    _C.ITERCLUSTER.WARMUP_EPOCHS = 0
+    _C.ITERCLUSTER.L2_NORMALIZE = True
+    _C.ITERCLUSTER.FINCH_PARTITION = 0
+
+    # -- Misc (:168-170) ------------------------------------------------------------------------
+    _C.NUM_GPUS = 1  # kept for YAML compatibility; on TPU = number of chips
+    _C.OUTPUT_PATH = "."
+    _C.SYNC_BATCH_NORM = False
+
+    # -- TPU-specific (new) ----------------------------------------------------------------------
+    _C.TPU = ConfigNode()
+    _C.TPU.MESH_SHAPE = []  # [] = 1-D data mesh over all visible devices
+    _C.TPU.COMPUTE_DTYPE = "bfloat16"  # model compute dtype (params stay fp32)
+    _C.TPU.DONATE_STATE = True
+    _C.TPU.PREFETCH_DEPTH = 2  # host->HBM double buffering depth
+
+    return _C
+
+
+_DEFAULT = _build_default_cfg()
+
+
+def get_cfg() -> ConfigNode:
+    """Return a fresh copy of the default config (ref default_params.py:186-190)."""
+    return _DEFAULT.clone()
