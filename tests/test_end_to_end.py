@@ -1,0 +1,135 @@
+"""Minimum end-to-end slice (SURVEY §7.2 step 6): synthetic UCF-style data
+-> triplet loader -> fused device augmentation -> jitted train steps (loss
+decreases) -> embedding pass -> clustering -> retrieval -> checkpoint
+round-trip.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synthetic_data import make_synthetic_ucf
+from video_similarity_search_tpu.config import get_cfg
+from video_similarity_search_tpu.data import build_data_loader
+from video_similarity_search_tpu.models import model_selector
+from video_similarity_search_tpu.train import (create_train_state,
+                                               make_triplet_train_step)
+from video_similarity_search_tpu.train.driver import (_device_batch,
+                                                      triplet_train_epoch)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    vid_path, ann_path = make_synthetic_ucf(str(root))
+    return vid_path, ann_path
+
+
+@pytest.fixture(scope="module")
+def cfg(synth):
+    vid_path, ann_path = synth
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "3dresnet"
+    cfg.RESNET.MODEL_DEPTH = 10
+    cfg.RESNET.NO_MAX_POOl = True
+    cfg.RESNET.HIDDEN_LAYER = 64
+    cfg.RESNET.OUT_DIM = 16
+    cfg.DATA.SAMPLE_DURATION = 4
+    cfg.DATA.SAMPLE_SIZE = 16
+    cfg.TRAIN.DATASET = "ucf101"
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.TRAIN.NUM_DATA_WORKERS = 2
+    cfg.VAL.BATCH_SIZE = 4
+    cfg.DATASET.VID_PATH = vid_path
+    cfg.DATASET.ANNOTATION_PATH = ann_path
+    cfg.DATASET.SAMPLING_STRATEGY = "random_semi_hard"
+    cfg.DATASET.POSITIVE_SAMPLING_P = 1.0
+    cfg.OPTIM.LR = 0.01
+    return cfg
+
+
+def test_loader_yields_batches(cfg):
+    loader, (dataset, idx_to_class) = build_data_loader(
+        "train", cfg, triplets=True)
+    assert len(dataset) == 9  # 3 classes x 3 training videos
+    assert len(idx_to_class) == 3
+    batch = next(iter(loader))
+    assert batch["anchor"].shape == (4, 4, 32, 32, 3)  # 2x sample_size buffer
+    assert batch["anchor"].dtype == np.uint8
+    assert batch["targets"].shape == (8,)
+
+
+def test_train_steps_and_loss(cfg):
+    loader, _ = build_data_loader("train", cfg, triplets=True)
+    model = model_selector(cfg)
+    sample = jnp.zeros((2, 4, 16, 16, 3))
+    state = create_train_state(jax.random.key(0), model, cfg, sample)
+    step_fn = make_triplet_train_step(cfg)
+
+    losses = []
+    key = jax.random.key(7)
+    for epoch in range(2):
+        loader.set_epoch(epoch)
+        for i, batch in enumerate(loader):
+            k = jax.random.fold_in(key, epoch * 100 + i)
+            dev = _device_batch(batch, cfg, k, train=True)
+            state, metrics = step_fn(state, dev, k)
+            losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert int(state.step) == len(losses)
+
+
+def test_validation_negative_loader(cfg):
+    loader, _ = build_data_loader("val", cfg, triplets=True,
+                                  negative_sampling=True)
+    batch = next(iter(loader))
+    assert "negative" in batch
+    # val buffer is eval-mode: sample_size, not 2x
+    assert batch["negative"].shape[2] == 16
+
+
+def test_embed_cluster_retrieve(cfg):
+    from video_similarity_search_tpu.cluster import fit_cluster
+    from video_similarity_search_tpu.evaluation import (
+        get_embeddings_and_labels, topk_retrieval_acc)
+
+    model = model_selector(cfg)
+    sample = jnp.zeros((2, 4, 16, 16, 3))
+    state = create_train_state(jax.random.key(0), model, cfg, sample)
+    loader, _ = build_data_loader("train", cfg, triplets=False,
+                                  req_train_shuffle=False, drop_last=False)
+    emb, labels, idx = get_embeddings_and_labels(state, model, cfg, loader,
+                                                 verbose=False)
+    assert emb.shape == (9, 16)
+    assert sorted(idx.tolist()) == list(range(9))
+
+    cluster_labels = fit_cluster(emb, method="finch", verbose=False)
+    assert cluster_labels.shape == (9,)
+
+    topk = topk_retrieval_acc(emb, labels, emb, labels, ks=(1, 5),
+                              exclude_self=True)
+    assert 0.0 <= topk[1] <= 1.0 and 0.0 <= topk[5] <= 1.0
+
+
+def test_checkpoint_roundtrip(cfg, tmp_path):
+    from video_similarity_search_tpu.train import (load_checkpoint,
+                                                   restore_train_state,
+                                                   save_checkpoint)
+
+    model = model_selector(cfg)
+    sample = jnp.zeros((2, 4, 16, 16, 3))
+    state = create_train_state(jax.random.key(0), model, cfg, sample)
+    path = save_checkpoint(str(tmp_path), "3dresnet", state, epoch=3,
+                           best_prec1=0.5, is_best=True)
+    payload = load_checkpoint(path)
+    state2 = create_train_state(jax.random.key(1), model, cfg, sample)
+    state2, start_epoch, best = restore_train_state(state2, payload)
+    assert start_epoch == 4 and best == 0.5
+    chex_equal = jax.tree.all(jax.tree.map(
+        lambda a, b: jnp.allclose(a, b), state.params, state2.params))
+    assert bool(chex_equal)
+    assert os.path.exists(os.path.join(str(tmp_path), "tnet_checkpoints",
+                                       "3dresnet", "model_best"))

@@ -1,0 +1,97 @@
+"""ops kernels vs numpy/scipy oracles."""
+
+import numpy as np
+import scipy.sparse as sp
+from scipy.sparse.csgraph import connected_components as scipy_cc
+from sklearn.metrics.pairwise import cosine_distances, euclidean_distances
+
+from video_similarity_search_tpu.ops import (
+    connected_components, nearest_neighbor, pairwise_distance, segment_mean,
+    topk_neighbors,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def test_pairwise_cosine_matches_sklearn():
+    x = RNG.normal(size=(37, 16)).astype(np.float32)
+    y = RNG.normal(size=(23, 16)).astype(np.float32)
+    got = np.asarray(pairwise_distance(x, y, "cosine"))
+    np.testing.assert_allclose(got, cosine_distances(x, y), atol=1e-5)
+
+
+def test_pairwise_euclidean_matches_sklearn():
+    x = RNG.normal(size=(17, 8)).astype(np.float32)
+    got = np.asarray(pairwise_distance(x, x, "euclidean"))
+    # dot-product formulation: fp32 cancellation ~1e-3 at this scale
+    np.testing.assert_allclose(got, euclidean_distances(x, x), atol=2e-3)
+
+
+def test_self_mask_diag_inf():
+    x = RNG.normal(size=(9, 4)).astype(np.float32)
+    d = np.asarray(pairwise_distance(x, metric="cosine", self_mask=True))
+    assert np.all(np.isinf(np.diag(d)))
+
+
+def test_nearest_neighbor_matches_bruteforce():
+    x = RNG.normal(size=(300, 12)).astype(np.float32)
+    idx, dist = nearest_neighbor(x, metric="cosine", tile=64)
+    d = cosine_distances(x, x)
+    np.fill_diagonal(d, np.inf)
+    np.testing.assert_array_equal(np.asarray(idx), d.argmin(1))
+    np.testing.assert_allclose(np.asarray(dist), d.min(1), atol=1e-5)
+
+
+def test_nearest_neighbor_euclidean_cross():
+    x = RNG.normal(size=(50, 6)).astype(np.float32)
+    y = RNG.normal(size=(80, 6)).astype(np.float32)
+    idx, _ = nearest_neighbor(x, y, metric="euclidean", tile=16)
+    d = euclidean_distances(x, y)
+    np.testing.assert_array_equal(np.asarray(idx), d.argmin(1))
+
+
+def test_topk_matches_argsort():
+    q = RNG.normal(size=(40, 10)).astype(np.float32)
+    bank = RNG.normal(size=(200, 10)).astype(np.float32)
+    idx, vals = topk_neighbors(q, bank, k=5, metric="cosine", tile=16)
+    d = cosine_distances(q, bank)
+    expect = np.argsort(d, axis=1, kind="stable")[:, :5]
+    # compare by distance value (ties can reorder indices)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(d, expect, 1), atol=1e-5
+    )
+    assert np.mean(np.asarray(idx) == expect) > 0.99
+
+
+def test_topk_exclude_self():
+    x = RNG.normal(size=(30, 8)).astype(np.float32)
+    idx, _ = topk_neighbors(x, x, k=3, metric="cosine", exclude_self=True,
+                            tile=16)
+    assert not np.any(np.asarray(idx) == np.arange(30)[:, None])
+
+
+def test_segment_mean_matches_numpy():
+    data = RNG.normal(size=(100, 7)).astype(np.float32)
+    labels = RNG.integers(0, 10, size=100)
+    got = np.asarray(segment_mean(data, labels, 10))
+    for s in range(10):
+        m = labels == s
+        if m.any():
+            np.testing.assert_allclose(got[s], data[m].mean(0), atol=1e-5)
+
+
+def test_connected_components_matches_scipy():
+    # random first-neighbor graph like FINCH builds
+    for n in (10, 257):
+        nn_idx = RNG.integers(0, n, size=n)
+        nn_idx[nn_idx == np.arange(n)] = (nn_idx[nn_idx == np.arange(n)] + 1) % n
+        labels = np.asarray(connected_components(nn_idx.astype(np.int32)))
+        rows = np.arange(n)
+        a = sp.coo_matrix((np.ones(n), (rows, nn_idx)), shape=(n, n))
+        a = a + a.T
+        n_comp, expect = scipy_cc(a, directed=False)
+        # same partition (ids may differ)
+        assert len(np.unique(labels)) == n_comp
+        for comp in range(n_comp):
+            ours = labels[expect == comp]
+            assert len(np.unique(ours)) == 1

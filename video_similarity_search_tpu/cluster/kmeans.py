@@ -1,0 +1,82 @@
+"""k-means / spherical k-means as pure-JAX Lloyd iterations.
+
+TPU-native replacement for sklearn ``KMeans(n_init=10)`` and
+spherecluster ``SphericalKMeans`` (reference clustering/cluster_masks.py:
+66-76). Assignment is one (N, K) matmul on the MXU per iteration; center
+updates are segment sums; the ``n_init`` restarts run as a vmapped batch
+and the best inertia wins — all restarts share the same compiled program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pdist import l2_normalize
+from ..ops.segment import segment_mean
+
+Array = jnp.ndarray
+
+
+def _plus_plus_lite_init(key, data: Array, k: int) -> Array:
+    """Random distinct-point init (sklearn's k-means++ is sequential and
+    O(K) kernel launches; random init + 10 restarts is the TPU-friendly
+    trade made here — documented divergence, same interface)."""
+    n = data.shape[0]
+    idx = jax.random.choice(key, n, (k,), replace=n < k)
+    return data[idx]
+
+
+def _lloyd(data: Array, centers: Array, iters: int, spherical: bool):
+    def step(carry, _):
+        centers = carry
+        # squared-euclidean assignment via the dot-product expansion
+        d = (jnp.sum(data * data, 1)[:, None]
+             + jnp.sum(centers * centers, 1)[None, :]
+             - 2.0 * data @ centers.T)
+        assign = jnp.argmin(d, axis=1)
+        new_centers = segment_mean(data, assign, centers.shape[0])
+        # keep empty clusters where they were
+        counts = jax.ops.segment_sum(jnp.ones((data.shape[0],)), assign,
+                                     centers.shape[0])
+        new_centers = jnp.where(counts[:, None] > 0, new_centers, centers)
+        if spherical:
+            new_centers = l2_normalize(new_centers)
+        return new_centers, None
+
+    centers, _ = jax.lax.scan(step, centers, None, length=iters)
+    d = (jnp.sum(data * data, 1)[:, None]
+         + jnp.sum(centers * centers, 1)[None, :] - 2.0 * data @ centers.T)
+    assign = jnp.argmin(d, axis=1)
+    inertia = jnp.sum(jnp.take_along_axis(d, assign[:, None], 1))
+    return assign, inertia
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "n_init", "max_iter", "spherical",
+                                    "l2normalize"))
+def kmeans(data: Array, k: int, key, n_init: int = 10, max_iter: int = 50,
+           spherical: bool = False, l2normalize: bool = False,
+           ) -> Tuple[Array, Array]:
+    """Returns (labels (N,), inertia). ``l2normalize`` matches the
+    reference's kmeans preprocessing (cluster_masks.py:30-34);
+    ``spherical=True`` renormalizes centers per iteration
+    (spherecluster SphericalKMeans)."""
+    data = data.astype(jnp.float32)
+    if l2normalize or spherical:
+        data = l2_normalize(data)
+
+    keys = jax.random.split(key, n_init)
+
+    def one_restart(k_i):
+        centers = _plus_plus_lite_init(k_i, data, k)
+        if spherical:
+            centers = l2_normalize(centers)
+        return _lloyd(data, centers, max_iter, spherical)
+
+    assigns, inertias = jax.lax.map(one_restart, keys)
+    best = jnp.argmin(inertias)
+    return assigns[best], inertias[best]

@@ -1,0 +1,248 @@
+"""Fused on-device clip augmentation.
+
+The reference applies per-frame PIL/cv2 transforms on dataloader workers
+(datasets/spatial_transforms.py:13-325) with one ``randomize_parameters()``
+draw per clip. Here the whole chain — RandomResizedCrop, horizontal flip,
+ColorJitter(p=0.8, random op order), ColorDrop(grayscale p=0.2),
+GaussianBlur(15x15, sigma=2, p=0.2), normalize — is ONE jitted function on
+uint8 clip batches: geometry via ``jax.image.scale_and_translate`` (crop +
+resize in one pass, static output shape), color ops as fused elementwise
+math, blur as a separable depthwise conv. Clip-consistency = one parameter
+draw per clip broadcast over frames (vmap over the batch axis).
+
+Host-side protocol: the loader decodes frames and resizes them to a fixed
+``pre_size`` square buffer (default 2x the crop size so the smallest
+reference crop — 0.25 area — needs no upsampling); crop boxes are sampled
+in that buffer's coordinates. The reference samples boxes in original-image
+coordinates — at UCF/Kinetics frame sizes the induced distribution is very
+close; documented divergence for the fixed-aspect buffer.
+
+Eval path (Resize(short-edge) + CenterCrop + ToTensor + ScaleValue,
+reference datasets/data_loader.py:107-115) happens on host in
+``pipeline.py`` since it is cheap and shape-changing; the device then only
+normalizes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+# reference datasets/data_loader.py:53-66
+MEAN_STD = {
+    "kinetics": ((0.4345, 0.4051, 0.3775), (0.2768, 0.2713, 0.2737)),
+    "imagenet": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+}
+# reference datasets/data_loader.py:29-30
+TRAIN_CROP_MIN_SCALE = 0.25
+TRAIN_CROP_MIN_RATIO = 0.75
+
+_GRAY = jnp.array([0.299, 0.587, 0.114])  # PIL 'L' weights
+
+
+def normalization_constants(dataset: str, num_channels: int = 3):
+    """Mean/std vectors; extension channels get mean 0 / std 1
+    (reference get_normalize_method, datasets/data_loader.py:69-83)."""
+    mean, std = MEAN_STD["kinetics" if dataset == "kinetics" else "imagenet"]
+    extra = num_channels - 3
+    mean = tuple(mean) + (0.0,) * extra
+    std = tuple(std) + (1.0,) * extra
+    return jnp.array(mean), jnp.array(std)
+
+
+def _sample_crop(key, h: int, w: int, scale, ratio):
+    """torchvision RandomResizedCrop.get_params, vectorized 10 attempts +
+    center fallback. Returns (top, left, height, width) floats."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    area = h * w
+    target_area = area * jax.random.uniform(k1, (10,), minval=scale[0],
+                                            maxval=scale[1])
+    log_ratio = jax.random.uniform(k2, (10,), minval=jnp.log(ratio[0]),
+                                   maxval=jnp.log(ratio[1]))
+    aspect = jnp.exp(log_ratio)
+    ws = jnp.sqrt(target_area * aspect)
+    hs = jnp.sqrt(target_area / aspect)
+    valid = (ws <= w) & (hs <= h)
+    pick = jnp.argmax(valid)  # first valid attempt
+    any_valid = jnp.any(valid)
+    cw = jnp.where(any_valid, ws[pick], jnp.float32(w))
+    ch = jnp.where(any_valid, hs[pick], jnp.float32(h))
+    # random placement
+    u1, u2 = jax.random.uniform(k3, (2,))
+    top = u1 * (h - ch)
+    left = u2 * (w - cw)
+    # fallback = full-frame center crop clamped to ratio (close to torchvision)
+    return top, left, ch, cw
+
+
+def _resized_crop(frames: Array, top, left, ch, cw, out_size: int) -> Array:
+    """(T, H, W, C) float -> (T, S, S, C) bilinear, crop+resize in one pass."""
+    scale_y = out_size / ch
+    scale_x = out_size / cw
+    return jax.image.scale_and_translate(
+        frames,
+        (frames.shape[0], out_size, out_size, frames.shape[-1]),
+        (1, 2),
+        jnp.stack([scale_y, scale_x]),
+        jnp.stack([-top * scale_y, -left * scale_x]),
+        method="bilinear",
+    )
+
+
+def _rgb_to_hsv(rgb: Array):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-8), 0.0)
+    safe = jnp.maximum(delta, 1e-8)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(r == maxc, bc - gc,
+                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = jnp.where(delta == 0, 0.0, h)
+    return h, s, v
+
+
+def _hsv_to_rgb(h: Array, s: Array, v: Array) -> Array:
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    conds = [(v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v), (v, p, q)]
+    r = jnp.select([i == k for k in range(6)], [c[0] for c in conds])
+    g = jnp.select([i == k for k in range(6)], [c[1] for c in conds])
+    b = jnp.select([i == k for k in range(6)], [c[2] for c in conds])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _jitter_clip(rgb: Array, perm, factors) -> Array:
+    """Apply the 4 jitter ops in the sampled order (torchvision semantics)."""
+    b_f, c_f, s_f, h_f = factors
+
+    def brightness(x):
+        return jnp.clip(x * b_f, 0.0, 1.0)
+
+    def contrast(x):
+        # torchvision: blend with mean of grayscale
+        mean = jnp.mean(x @ _GRAY)
+        return jnp.clip(mean + c_f * (x - mean), 0.0, 1.0)
+
+    def saturation(x):
+        gray = (x @ _GRAY)[..., None]
+        return jnp.clip(gray + s_f * (x - gray), 0.0, 1.0)
+
+    def hue(x):
+        h, s, v = _rgb_to_hsv(x)
+        return jnp.clip(_hsv_to_rgb((h + h_f) % 1.0, s, v), 0.0, 1.0)
+
+    fns = [brightness, contrast, saturation, hue]
+    for step in range(4):
+        rgb = jax.lax.switch(perm[step], fns, rgb)
+    return rgb
+
+
+def _gaussian_kernel(size: int = 15, sigma: float = 2.0) -> Array:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    k = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
+    return k / jnp.sum(k)
+
+
+def _blur_clip(frames: Array, size: int = 15, sigma: float = 2.0) -> Array:
+    """Separable 15x15 sigma-2 blur (reference GaussianBlur,
+    spatial_transforms.py:311-325 uses cv2.GaussianBlur((15,15),2))."""
+    k = _gaussian_kernel(size, sigma)
+    pad = size // 2
+    # depthwise separable: conv over H then W (same weights all channels)
+    x = jnp.moveaxis(frames, -1, 1)  # (T, C, H, W)
+    t, c, h, w = x.shape
+    x = x.reshape(t * c, 1, h, w)
+    kh = k.reshape(1, 1, size, 1)
+    kw = k.reshape(1, 1, 1, size)
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1),
+                                     [(pad, pad), (0, 0)])
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1),
+                                     [(0, 0), (pad, pad)])
+    return jnp.moveaxis(x.reshape(t, c, h, w), 1, -1)
+
+
+def _augment_one(clip_u8: Array, key, out_size: int,
+                 jitter_strength, hue_strength,
+                 p_jitter: float, p_gray: float, p_blur: float) -> Array:
+    """(T, H, W, C) uint8 -> (T, S, S, C) float32 in [0, 1]-ish (pre-norm)."""
+    keys = jax.random.split(key, 8)
+    t, h, w, c = clip_u8.shape
+    x = clip_u8.astype(jnp.float32) / 255.0
+
+    # RandomResizedCrop (scale 0.25-1.0, ratio 0.75-1.333, data_loader.py:100-102)
+    top, left, ch, cw = _sample_crop(
+        keys[0], h, w, (TRAIN_CROP_MIN_SCALE, 1.0),
+        (TRAIN_CROP_MIN_RATIO, 1.0 / TRAIN_CROP_MIN_RATIO))
+    x = _resized_crop(x, top, left, ch, cw, out_size)
+
+    # horizontal flip p=0.5
+    do_flip = jax.random.bernoulli(keys[1])
+    x = jnp.where(do_flip, x[:, :, ::-1, :], x)
+
+    rgb, ext = x[..., :3], x[..., 3:]
+
+    # ColorJitter(brightness/contrast/saturation=0.5, hue=0.5, p=0.8)
+    s = jitter_strength
+    b_f = jax.random.uniform(keys[2], (), minval=max(0.0, 1 - s), maxval=1 + s)
+    c_f = jax.random.uniform(keys[3], (), minval=max(0.0, 1 - s), maxval=1 + s)
+    s_f = jax.random.uniform(keys[4], (), minval=max(0.0, 1 - s), maxval=1 + s)
+    h_f = jax.random.uniform(keys[5], (), minval=-hue_strength,
+                             maxval=hue_strength)
+    perm = jax.random.permutation(keys[6], 4)
+    do_jit = jax.random.uniform(keys[7]) < p_jitter
+    jittered = _jitter_clip(rgb, perm, (b_f, c_f, s_f, h_f))
+    rgb = jnp.where(do_jit, jittered, rgb)
+
+    # ColorDrop (grayscale, p=0.2)
+    k_gray, k_blur = jax.random.split(jax.random.fold_in(key, 101))
+    do_gray = jax.random.uniform(k_gray) < p_gray
+    gray3 = jnp.repeat((rgb @ _GRAY)[..., None], 3, axis=-1)
+    rgb = jnp.where(do_gray, gray3, rgb)
+
+    x = jnp.concatenate([rgb, ext], axis=-1) if ext.shape[-1] else rgb
+
+    # GaussianBlur p=0.2 (applied to all channels like the cv2 call)
+    do_blur = jax.random.uniform(k_blur) < p_blur
+    x = jnp.where(do_blur, _blur_clip(x), x)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "dataset"))
+def train_augment(clips_u8: Array, key, out_size: int,
+                  dataset: str = "ucf101") -> Array:
+    """(B, T, H, W, C) uint8 -> (B, T, S, S, C) normalized float32.
+
+    One fused program: per-clip param draws, crop+resize, flip, jitter,
+    gray, blur, normalize (the reference's train spatial_transform chain,
+    datasets/data_loader.py:96-108)."""
+    b = clips_u8.shape[0]
+    keys = jax.random.split(key, b)
+    aug = jax.vmap(
+        lambda clip, k: _augment_one(clip, k, out_size, 0.5, 0.5,
+                                     0.8, 0.2, 0.2)
+    )(clips_u8, keys)
+    mean, std = normalization_constants(dataset, clips_u8.shape[-1])
+    return (aug - mean) / std
+
+
+@functools.partial(jax.jit, static_argnames=("dataset",))
+def normalize_only(clips_u8: Array, dataset: str = "ucf101") -> Array:
+    """Eval path: host already resized+center-cropped; scale+normalize."""
+    x = clips_u8.astype(jnp.float32) / 255.0
+    mean, std = normalization_constants(dataset, clips_u8.shape[-1])
+    return (x - mean) / std

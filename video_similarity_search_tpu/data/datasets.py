@@ -1,0 +1,275 @@
+"""Host-side dataset objects: triplet sampling and single-video eval items.
+
+These produce fixed-shape uint8 clip arrays (T, H, W, C); all stochastic
+photometric/geometric augmentation runs later on device
+(:mod:`.augment`). What stays on host is what must: file IO, frame
+decoding, index-domain sampling, and data-dependent view choices
+(channel replacement needs to choose which files to read).
+
+Reference parity:
+  * TripletsData (datasets/triplets_dataset.py:29-208): positive = same
+    video w.p. POSITIVE_SAMPLING_P else another video with the same
+    label/cluster-label; third clip for relative-speed (2x positive) /
+    local-local (second anchor) / intra-negative (block-shuffled anchor);
+    explicit negative clip when ``negative_sampling`` (val); temporal-ds
+    prediction targets.
+  * construct_net_input (datasets/dataset_utils.py:22-114): channel
+    extension concat, or full positive replacement by a 3x-replicated
+    mask/flow view w.p. PROB_POS_CHANNEL_REPLACE (salient views rejected
+    when mean < 0.01).
+  * VideoDataset (datasets/video_dataset.py:14-121): one clip per video;
+    'test' split expands every non-overlapping window.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .loaders import BinaryImageLoaderPIL, VideoLoader
+from .manifests import default_image_name_formatter
+from .temporal import Shuffle, get_test_video_frame_indices, \
+    temporal_ds_frame_indices
+
+SALIENT_MASK_THRESHOLD = 0.01  # reference dataset_utils.py:38
+
+
+def _resize_frames(frames: List[np.ndarray], size: Tuple[int, int],
+                   keep_aspect_short_edge: Optional[int] = None
+                   ) -> np.ndarray:
+    """Resize decoded frames to a fixed buffer; (T, H, W, C) uint8."""
+    import cv2
+
+    out = []
+    for f in frames:
+        if f.ndim == 2:
+            f = f[..., None]
+        if keep_aspect_short_edge is not None:
+            h, w = f.shape[:2]
+            s = keep_aspect_short_edge / min(h, w)
+            nh, nw = int(round(h * s)), int(round(w * s))
+            r = cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)
+            if r.ndim == 2:
+                r = r[..., None]
+            # center crop to (size)
+            th, tw = size
+            top = max(0, (nh - th) // 2)
+            left = max(0, (nw - tw) // 2)
+            r = r[top:top + th, left:left + tw]
+        else:
+            r = cv2.resize(f, (size[1], size[0]),
+                           interpolation=cv2.INTER_LINEAR)
+            if r.ndim == 2:
+                r = r[..., None]
+        out.append(r)
+    return np.stack(out, 0)
+
+
+class ClipReader:
+    """Decode + buffer-resize one clip, with channel extension logic."""
+
+    def __init__(self, channel_ext: Dict[str, Tuple[str, object]],
+                 buffer_size: int, eval_mode: bool,
+                 image_name_formatter=default_image_name_formatter,
+                 prob_pos_channel_replace: float = 0.25,
+                 rng: Optional[np.random.Generator] = None):
+        self.loader = VideoLoader(image_name_formatter)
+        self.channel_ext = channel_ext or {}
+        self.buffer_size = buffer_size
+        self.eval_mode = eval_mode
+        self.prob_replace = prob_pos_channel_replace
+        self.rng = rng or np.random.default_rng()
+
+    def _read(self, loader, path, frame_indices) -> List[np.ndarray]:
+        frames = loader(path, frame_indices)
+        if not frames:
+            raise FileNotFoundError(f"no frames under {path}")
+        while len(frames) < len(frame_indices):
+            frames.append(frames[-1])
+        return frames
+
+    def _buffered(self, frames: List[np.ndarray]) -> np.ndarray:
+        size = (self.buffer_size, self.buffer_size)
+        if self.eval_mode:
+            # Resize(short edge)+CenterCrop (ref data_loader.py:107-115)
+            return _resize_frames(frames, size,
+                                  keep_aspect_short_edge=self.buffer_size)
+        return _resize_frames(frames, size)
+
+    def load(self, sample: dict, frame_indices: Sequence[int],
+             use_channel_ext: bool = True,
+             pos_channel_replace: bool = False) -> np.ndarray:
+        """-> (T, buffer, buffer, C) uint8 (C = 3 + #extensions or 3)."""
+        clip = None
+        if pos_channel_replace and self.channel_ext:
+            if self.rng.random() < self.prob_replace:
+                key = self.rng.choice(list(self.channel_ext))
+                _, ch_loader = self.channel_ext[key]
+                ch_frames = self._read(ch_loader, sample[key], frame_indices)
+                arr = self._buffered(ch_frames)
+                if key != "salient" or arr.mean() / 255.0 >= \
+                        SALIENT_MASK_THRESHOLD:
+                    clip = np.repeat(arr[..., :1], 3, axis=-1)
+        if clip is None:
+            frames = self._read(self.loader, sample["video"], frame_indices)
+            clip = self._buffered(frames)
+            if use_channel_ext and not pos_channel_replace:
+                for key, (_, ch_loader) in self.channel_ext.items():
+                    ch_frames = self._read(ch_loader, sample[key],
+                                           frame_indices)
+                    clip = np.concatenate(
+                        [clip, self._buffered(ch_frames)[..., :1]], axis=-1)
+        return clip
+
+
+class TripletsDataset:
+    """Anchor/positive(/extra/negative) item sampler (see module docstring)."""
+
+    POSITIVE_TYPES = ("same_inst", "diff_inst")
+
+    def __init__(self, samples: List[dict], *,
+                 temporal_transforms: Dict[str, Callable],
+                 reader: ClipReader,
+                 target_type: str = "label",
+                 positive_sampling_p: float = 1.0,
+                 negative_sampling: bool = False,
+                 pos_channel_replace: bool = False,
+                 relative_speed_perception: bool = False,
+                 local_local_contrast: bool = False,
+                 intra_negative: bool = False,
+                 predict_temporal_ds: bool = False,
+                 sample_duration: int = 16,
+                 split: str = "train",
+                 seed: int = 0):
+        self.samples = samples
+        self.tt = temporal_transforms
+        self.reader = reader
+        self.target_type = target_type
+        self.positive_sampling_p = positive_sampling_p
+        self.negative_sampling = negative_sampling
+        self.pos_channel_replace = pos_channel_replace
+        self.rsp = relative_speed_perception
+        self.llc = local_local_contrast
+        self.intra_negative = intra_negative
+        self.predict_temporal_ds = predict_temporal_ds
+        self.sample_duration = sample_duration
+        self.split = split
+        self.rng = np.random.default_rng(seed)
+        self.shuffle_tt = Shuffle()
+
+        self.data_labels = np.array([s[target_type] for s in samples])
+        self.label_to_indices = {
+            label: np.where(self.data_labels == label)[0]
+            for label in np.unique(self.data_labels)
+        }
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def set_epoch_seed(self, seed: int) -> None:
+        self.rng = np.random.default_rng(seed)
+
+    def _sample_positive(self, index: int, a_target) -> dict:
+        p_type = self.rng.choice(
+            self.POSITIVE_TYPES,
+            p=[self.positive_sampling_p, 1 - self.positive_sampling_p])
+        if p_type == "same_inst" and self.split == "train":
+            return self.samples[index]
+        pool = self.label_to_indices[a_target]
+        p_idx = self.rng.choice(pool)
+        while p_idx == index and len(pool) > 1:
+            p_idx = self.rng.choice(pool)
+        return self.samples[p_idx]
+
+    def _clip(self, sample: dict, role: str, *, shuffle: bool = False,
+              ds: Optional[int] = None) -> np.ndarray:
+        frame_indices = list(range(1, sample["num_frames"] + 1))
+        if ds is not None:
+            start = int(self.rng.integers(1, sample["num_frames"] + 1))
+            frame_id = temporal_ds_frame_indices(
+                self.sample_duration, sample["num_frames"], start, ds)
+        else:
+            frame_id = self.tt[role](frame_indices)
+        if shuffle:
+            frame_id = self.shuffle_tt(frame_id)
+        use_ext = not (self.pos_channel_replace and role == "anchor")
+        replace = self.pos_channel_replace and role != "anchor" \
+            and role != "negative"
+        return self.reader.load(sample, frame_id, use_channel_ext=use_ext,
+                                pos_channel_replace=replace)
+
+    def __getitem__(self, index: int) -> dict:
+        anchor = self.samples[index]
+        a_target = anchor[self.target_type]
+        positive = self._sample_positive(index, a_target)
+        p_target = positive[self.target_type]
+
+        if self.split == "train" and self.predict_temporal_ds:
+            ds_label = int(self.rng.integers(1, 5))  # ref :127 randint(1,4)
+            return {
+                "anchor": self._clip(anchor, "anchor", ds=ds_label),
+                "positive": self._clip(positive, "positive", ds=ds_label),
+                "targets": (a_target, p_target),
+                "ds_label": ds_label,
+                "index": index,
+            }
+
+        item = {
+            "anchor": self._clip(anchor, "anchor"),
+            "positive": self._clip(positive, "positive"),
+            "targets": (a_target, p_target),
+            "index": index,
+        }
+        if self.rsp:
+            item["extra"] = self._clip(positive, "fast_positive")
+        elif self.llc:
+            item["extra"] = self._clip(anchor, "anchor")
+        elif self.intra_negative:
+            item["extra"] = self._clip(anchor, "intra_negative", shuffle=True)
+
+        if self.negative_sampling:
+            neg_idx = int(self.rng.integers(len(self)))
+            while neg_idx == index:
+                neg_idx = int(self.rng.integers(len(self)))
+            negative = self.samples[neg_idx]
+            item["negative"] = self._clip(negative, "negative")
+            item["n_target"] = negative[self.target_type]
+            item["negative_index"] = neg_idx
+        return item
+
+
+class VideoDataset:
+    """One (or all test windows of a) video per item
+    (reference datasets/video_dataset.py:14-121)."""
+
+    def __init__(self, samples: List[dict], *,
+                 temporal_transform: Callable,
+                 reader: ClipReader,
+                 target_type: str = "label",
+                 split: str = "train"):
+        self.samples = samples
+        self.tt = temporal_transform
+        self.reader = reader
+        self.target_type = target_type
+        self.split = split
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, index: int) -> dict:
+        sample = self.samples[index]
+        target = sample[self.target_type]
+        if self.split == "test":
+            windows = get_test_video_frame_indices(
+                sample["num_frames"], self.tt.size
+                if hasattr(self.tt, "size") else 16)
+            clips = np.stack([
+                self.reader.load(sample, win) for win in windows
+            ])  # (n_windows, T, H, W, C)
+            return {"clip": clips, "target": target,
+                    "path": sample["video"], "index": index}
+        frame_indices = list(range(1, sample["num_frames"] + 1))
+        frame_id = self.tt(frame_indices)
+        return {"clip": self.reader.load(sample, frame_id),
+                "target": target, "path": sample["video"], "index": index}

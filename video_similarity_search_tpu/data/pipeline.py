@@ -1,0 +1,301 @@
+"""Loader builder + double-buffered host->device feeding.
+
+Reference ``build_data_loader`` (datasets/data_loader.py:205-342) returns a
+torch DataLoader with DistributedSampler. Here:
+
+  * the dataset objects produce numpy uint8 clips (datasets.py);
+  * a thread-pool prefetcher (IO-bound JPEG decode releases the GIL)
+    assembles batches ahead of consumption (``TPU.PREFETCH_DEPTH``);
+  * per-host sharding replaces DistributedSampler: each process iterates
+    its contiguous slice of the (epoch-reshuffled) index permutation;
+  * ragged final batches are padded with a validity mask instead of the
+    reference's drop_last workaround for its all_gather bug
+    (datasets/data_loader.py:317-322; SURVEY §7.4) — train triplet loaders
+    still drop_last like the reference so batch shapes stay static;
+  * per-GPU batch = BATCH_SIZE / world and 6x for non-triplet eval loaders
+    (reference :300-313) is preserved as global BATCH_SIZE (and 6x eval).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .datasets import ClipReader, TripletsDataset, VideoDataset
+from .loaders import BinaryImageLoaderPIL, VideoLoader
+from .manifests import (get_manifest, kp_img_name_formatter,
+                        optical_img_name_formatter,
+                        salient_img_name_formatter)
+from .temporal import (Compose as TemporalCompose, TemporalBeginCrop,
+                       TemporalCenterCrop, TemporalRandomCrop,
+                       TemporalRandomCrop2xSpeed)
+
+
+def get_channel_extension(cfg) -> Dict[str, Tuple[str, object]]:
+    """name -> (root path, loader) (reference datasets/data_loader.py:174-201)."""
+    ext: Dict[str, Tuple[str, object]] = {}
+    for name in str(cfg.DATASET.CHANNEL_EXTENSIONS).split(","):
+        name = name.strip()
+        if name == "keypoint":
+            ext[name] = (cfg.DATASET.KEYPOINT_PATH,
+                         VideoLoader(kp_img_name_formatter,
+                                     BinaryImageLoaderPIL))
+        elif name == "salient":
+            ext[name] = (cfg.DATASET.SALIENT_PATH,
+                         VideoLoader(salient_img_name_formatter,
+                                     BinaryImageLoaderPIL))
+        elif name == "optical_u":
+            ext[name] = (cfg.DATASET.OPTICAL_U_PATH,
+                         VideoLoader(optical_img_name_formatter,
+                                     BinaryImageLoaderPIL))
+        elif name == "optical_v":
+            ext[name] = (cfg.DATASET.OPTICAL_V_PATH,
+                         VideoLoader(optical_img_name_formatter,
+                                     BinaryImageLoaderPIL))
+    return ext
+
+
+def build_temporal_transforms(cfg, triplets: bool = True):
+    """reference build_temporal_transformation (data_loader.py:124-169)."""
+    d = cfg.DATA.SAMPLE_DURATION
+    if triplets:
+        tt = {
+            "anchor": TemporalCompose([TemporalBeginCrop(d)]),
+            "positive": TemporalCompose(
+                [TemporalRandomCrop(d, start_index=d)]),
+            "negative": TemporalCompose([TemporalRandomCrop(d)]),
+        }
+        if cfg.LOSS.RELATIVE_SPEED_PERCEPTION:
+            tt["fast_positive"] = TemporalCompose(
+                [TemporalRandomCrop2xSpeed(d, start_index=d)])
+        if cfg.LOSS.INTRA_NEGATIVE:
+            tt["intra_negative"] = TemporalCompose([TemporalRandomCrop(d)])
+        return tt
+    if cfg.DATA.TEMPORAL_CROP == "random":
+        return TemporalCompose([TemporalRandomCrop(d)])
+    return TemporalCompose([TemporalCenterCrop(d)])
+
+
+class PrefetchLoader:
+    """Batched, shuffled, thread-prefetched iterator over a dataset."""
+
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool,
+                 drop_last: bool, collate: Callable, num_workers: int = 4,
+                 prefetch_depth: int = 2, seed: int = 0,
+                 shard_index: int = 0, num_shards: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.collate = collate
+        self.num_workers = max(1, num_workers)
+        self.prefetch_depth = prefetch_depth
+        self.seed = seed
+        self.epoch = 0
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+
+    def set_epoch(self, epoch: int) -> None:
+        """reference DistributedSampler.set_epoch (online_train.py:672-673)."""
+        self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch_seed"):
+            self.dataset.set_epoch_seed(self.seed + epoch)
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            idx = np.random.default_rng(self.seed + self.epoch).permutation(n)
+        if self.num_shards > 1:
+            idx = idx[self.shard_index::self.num_shards]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator:
+        idx = self._indices()
+        batches: List[np.ndarray] = []
+        end = (len(idx) // self.batch_size * self.batch_size
+               if self.drop_last else len(idx))
+        for s in range(0, end, self.batch_size):
+            batches.append(idx[s:s + self.batch_size])
+        if not batches:
+            return iter(())
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for bidx in batches:
+                    if stop.is_set():
+                        break
+                    items = list(pool.map(self.dataset.__getitem__, bidx))
+                    batch = self.collate(items)
+                    if batch is not None:
+                        batch["__valid__"] = np.arange(len(bidx))
+                        batch["__size__"] = len(bidx)
+                    out_q.put(batch)
+            finally:
+                out_q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+
+        def gen():
+            try:
+                while True:
+                    batch = out_q.get()
+                    if batch is None:
+                        break
+                    yield batch
+            finally:
+                stop.set()
+                pool.shutdown(wait=False)
+
+        return gen()
+
+
+def collate_triplets(items: List[dict]) -> dict:
+    out = {
+        "anchor": np.stack([it["anchor"] for it in items]),
+        "positive": np.stack([it["positive"] for it in items]),
+        "index": np.array([it["index"] for it in items], np.int32),
+    }
+    a_t = np.array([it["targets"][0] for it in items], np.int32)
+    p_t = np.array([it["targets"][1] for it in items], np.int32)
+    out["targets"] = np.concatenate([a_t, p_t])  # (2B,) like the trainer
+    if "extra" in items[0]:
+        out["extra"] = np.stack([it["extra"] for it in items])
+    if "negative" in items[0]:
+        out["negative"] = np.stack([it["negative"] for it in items])
+        out["n_target"] = np.array([it["n_target"] for it in items], np.int32)
+    if "ds_label" in items[0]:
+        out["ds_label"] = np.array([it["ds_label"] for it in items], np.int32)
+    return out
+
+
+def collate_videos(items: List[dict]) -> dict:
+    """Flattens multi-window test items (reference datasets/dataset.py:19-31)."""
+    clips, targets, indices, window_counts = [], [], [], []
+    for it in items:
+        clip = it["clip"]
+        if clip.ndim == 5:  # (windows, T, H, W, C)
+            for w in range(clip.shape[0]):
+                clips.append(clip[w])
+                targets.append(it["target"])
+                indices.append(it["index"])
+            window_counts.append(clip.shape[0])
+        else:
+            clips.append(clip)
+            targets.append(it["target"])
+            indices.append(it["index"])
+            window_counts.append(1)
+    return {
+        "clip": np.stack(clips),
+        "target": np.array(targets, np.int32),
+        "index": np.array(indices, np.int32),
+        "window_counts": np.array(window_counts, np.int32),
+    }
+
+
+def build_data_loader(split: str, cfg, is_master_proc: bool = True,
+                      triplets: bool = True, negative_sampling: bool = False,
+                      req_train_shuffle: Optional[bool] = None,
+                      drop_last: Optional[bool] = None,
+                      batch_size: Optional[int] = None,
+                      val_sample: Optional[int] = 1,
+                      shard_index: int = 0, num_shards: int = 1):
+    """Same role/signature as reference build_data_loader
+    (datasets/data_loader.py:205-342). Returns (loader, (dataset, None))."""
+    dataset_name = cfg.TRAIN.DATASET
+    channel_ext = get_channel_extension(cfg)
+    cluster_path = cfg.DATASET.CLUSTER_PATH or None
+
+    manifest_kwargs = dict(
+        annotation_path=cfg.DATASET.ANNOTATION_PATH,
+        root_path=cfg.DATASET.VID_PATH,
+        split=split,
+        sample_duration=cfg.DATA.SAMPLE_DURATION,
+        cluster_path=cluster_path if split == "train" else None,
+        verbose=is_master_proc,
+    )
+    if dataset_name != "kinetics":
+        manifest_kwargs["channel_ext"] = {k: v[0]
+                                          for k, v in channel_ext.items()}
+        manifest_kwargs["val_sample"] = val_sample
+    samples, idx_to_class = get_manifest(dataset_name, **manifest_kwargs)
+
+    target_type = (cfg.DATASET.TARGET_TYPE_T if split == "train"
+                   else cfg.DATASET.TARGET_TYPE_V)
+    if target_type == "cluster_label" and (
+            not samples or "cluster_label" not in samples[0]):
+        target_type = "label"  # warmup epochs before the first clustering
+
+    sample_size = cfg.DATA.SAMPLE_SIZE
+    train_aug = split == "train" and triplets
+    reader = ClipReader(
+        channel_ext,
+        buffer_size=2 * sample_size if train_aug else sample_size,
+        eval_mode=not train_aug,
+        prob_pos_channel_replace=cfg.DATASET.PROB_POS_CHANNEL_REPLACE,
+    )
+
+    if triplets:
+        dataset = TripletsDataset(
+            samples,
+            temporal_transforms=build_temporal_transforms(cfg, True),
+            reader=reader,
+            target_type=target_type,
+            positive_sampling_p=cfg.DATASET.POSITIVE_SAMPLING_P,
+            negative_sampling=negative_sampling,
+            pos_channel_replace=(cfg.DATASET.POS_CHANNEL_REPLACE
+                                 and split == "train"),
+            relative_speed_perception=cfg.LOSS.RELATIVE_SPEED_PERCEPTION,
+            local_local_contrast=cfg.LOSS.LOCAL_LOCAL_CONTRAST,
+            intra_negative=cfg.LOSS.INTRA_NEGATIVE,
+            predict_temporal_ds=cfg.MODEL.PREDICT_TEMPORAL_DS,
+            sample_duration=cfg.DATA.SAMPLE_DURATION,
+            split=split,
+        )
+        collate = collate_triplets
+        bsz = batch_size or (cfg.TRAIN.BATCH_SIZE if split == "train"
+                             else cfg.VAL.BATCH_SIZE)
+        shuffle = split == "train" if req_train_shuffle is None \
+            else req_train_shuffle
+        # static train batches; val keeps its ragged last batch (we pad+mask
+        # instead of the reference's drop_last bug workaround, SURVEY §7.4)
+        dl = drop_last if drop_last is not None else (split == "train")
+    else:
+        dataset = VideoDataset(
+            samples,
+            temporal_transform=build_temporal_transforms(cfg, False),
+            reader=reader,
+            target_type=target_type,
+            split=split,
+        )
+        collate = collate_videos
+        # 6x eval batch (reference datasets/data_loader.py:300-313)
+        default_bsz = (cfg.TRAIN.BATCH_SIZE if split == "train"
+                       else cfg.VAL.BATCH_SIZE)
+        bsz = batch_size or (default_bsz * 6 if not cfg.TRAIN.EVAL_BATCH_SIZE
+                             else cfg.TRAIN.EVAL_BATCH_SIZE)
+        shuffle = False if req_train_shuffle is None else req_train_shuffle
+        dl = drop_last if drop_last is not None else False
+
+    loader = PrefetchLoader(
+        dataset, bsz, shuffle=shuffle, drop_last=dl, collate=collate,
+        num_workers=cfg.TRAIN.NUM_DATA_WORKERS,
+        prefetch_depth=cfg.TPU.PREFETCH_DEPTH,
+        shard_index=shard_index, num_shards=num_shards,
+    )
+    return loader, (dataset, idx_to_class)

@@ -1,0 +1,131 @@
+"""Shared layer helpers for the video encoders.
+
+All models use channels-last video layout ``(B, T, H, W, C)`` so XLA maps
+3-D convolutions onto the MXU with lane-aligned channel tiles. The
+reference uses torch's channels-first ``(B, C, T, H, W)``
+(e.g. models/resnet.py:255-312); conversion happens only at the data/
+checkpoint boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def _triple(v: Union[int, Sequence[int]]) -> Tuple[int, int, int]:
+    if isinstance(v, int):
+        return (v, v, v)
+    t = tuple(v)
+    assert len(t) == 3
+    return t  # type: ignore[return-value]
+
+
+class Conv3d(nn.Module):
+    """3-D convolution on (B, T, H, W, C) with torch-style symmetric padding.
+
+    Matches torch ``nn.Conv3d(kernel_size=k, padding=k//2)`` semantics
+    (reference models/resnet.py:11-25) while staying channels-last.
+    """
+
+    features: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    strides: Union[int, Sequence[int]] = 1
+    padding: Union[str, int, Sequence[int], None] = None  # None = k//2 per dim
+    use_bias: bool = False
+    feature_group_count: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = _triple(self.kernel_size)
+        s = _triple(self.strides)
+        if self.padding is None:
+            pad = [(d // 2, d // 2) for d in k]
+        elif isinstance(self.padding, str):
+            pad = self.padding
+        else:
+            p = _triple(self.padding) if not isinstance(self.padding, int) else _triple(self.padding)
+            pad = [(d, d) for d in p]
+        return nn.Conv(
+            features=self.features,
+            kernel_size=k,
+            strides=s,
+            padding=pad,
+            use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch-equivalent defaults (momentum 0.1, eps 1e-5).
+
+    Statistics are computed in fp32 regardless of compute dtype. Under jit
+    with a batch axis sharded over the mesh, the batch-mean reduction is
+    global, so this is cross-replica ("sync") BN by construction — the
+    TPU-native equivalent of the reference's SyncBatchNorm /
+    NaiveSyncBatchNorm3d (models/slowfast/slowfast/models/batchnorm_helper.py:122-222).
+    ``axis_name`` is only needed under shard_map/pmap.
+    """
+
+    use_running_average: Optional[bool] = None
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        return nn.BatchNorm(
+            use_running_average=ura,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            axis_name=self.axis_name,
+        )(x.astype(jnp.float32)).astype(self.dtype)
+
+
+def max_pool3d(x: jnp.ndarray, kernel: int = 3, stride: int = 2, pad: int = 1):
+    """torch ``nn.MaxPool3d(kernel_size=3, stride=2, padding=1)`` equivalent."""
+    return nn.max_pool(
+        x,
+        window_shape=(kernel, kernel, kernel),
+        strides=(stride, stride, stride),
+        padding=[(pad, pad)] * 3,
+    )
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """AdaptiveAvgPool3d((1,1,1)) + flatten: (B,T,H,W,C) -> (B,C)."""
+    return jnp.mean(x, axis=(1, 2, 3))
+
+
+class ProjectionHead(nn.Module):
+    """Non-linear projection head: fc1 -> BN -> ReLU -> fc2.
+
+    Reference models/resnet.py:180-184, 294-299.
+    """
+
+    hidden: int = 2048
+    out_dim: int = 128
+    dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        h = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1")(x)
+        h = BatchNorm(use_running_average=not train, axis_name=self.axis_name,
+                      dtype=self.dtype, name="bn_proj")(h)
+        h = nn.relu(h)
+        return nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="fc2")(h)

@@ -1,0 +1,8 @@
+from .mesh import (DATA_AXIS, batch_sharding, get_world_size,
+                   initialize_distributed, is_master_proc, make_mesh,
+                   replicate, replicated, shard_batch)
+
+__all__ = [
+    "DATA_AXIS", "batch_sharding", "get_world_size", "initialize_distributed",
+    "is_master_proc", "make_mesh", "replicate", "replicated", "shard_batch",
+]

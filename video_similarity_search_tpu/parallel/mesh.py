@@ -1,0 +1,85 @@
+"""Device mesh setup and sharding helpers.
+
+The reference's distributed runtime is process-per-GPU DDP over NCCL with a
+TCP rendezvous (misc/distributed_helper.py:8-37) — one parallelism
+strategy: data parallelism. The TPU-native equivalent (SURVEY.md §2.6) is a
+1-D ``jax.sharding.Mesh`` over all chips with batch-sharded inputs and
+replicated parameters; gradient averaging is implicit (a global mean under
+jit is a psum over ICI), BN stats sync likewise. Multi-host runs call
+``jax.distributed.initialize`` once per host (reference: launch_processes +
+init_process_group).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              mesh_shape: Optional[Sequence[int]] = None) -> Mesh:
+    """1-D data mesh over all (or the given) devices.
+
+    ``mesh_shape`` reserved for future 2-D layouts (cfg.TPU.MESH_SHAPE);
+    the workload is small-CNN data-parallel (SURVEY §2.6), so 1-D is the
+    right default.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if mesh_shape:
+        devices = devices.reshape(tuple(mesh_shape))
+        axis_names = tuple(f"axis{i}" for i in range(devices.ndim - 1)) + (
+            DATA_AXIS,)
+        return Mesh(devices, axis_names)
+    return Mesh(devices, (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device_put a host batch with the leading axis sharded over the mesh."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host init (reference run_process, misc/distributed_helper.py:8-26).
+
+    No-op for single-process; on a TPU pod slice jax reads the topology from
+    the environment, so bare ``jax.distributed.initialize()`` suffices.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def is_master_proc() -> bool:
+    """Reference misc/distributed_helper.py:68-73."""
+    return jax.process_index() == 0
+
+
+def get_world_size() -> int:
+    return jax.device_count()

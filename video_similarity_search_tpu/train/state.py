@@ -1,0 +1,72 @@
+"""Train state: params + BN stats + optimizer + loss-side memory banks.
+
+Everything the reference keeps as module buffers / optimizer internals is
+an explicit pytree here, so the whole training step is one pure jitted
+function with donated state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..losses import MemTripletState, NCEAverageState
+from ..models.moco import MoCoState
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    # loss-side state (exactly one is non-None depending on LOSS.TYPE)
+    moco: Optional[MoCoState] = None
+    nce: Optional[NCEAverageState] = None
+    mem_triplet: Optional[MemTripletState] = None
+
+    tx: optax.GradientTransformation = struct.field(pytree_node=False,
+                                                    default=None)
+    apply_fn: Callable = struct.field(pytree_node=False, default=None)
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state,
+                                                self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt_state,
+        )
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    """reference online_train.py:539-548: adam(lr, wd) or sgd(lr, momentum)."""
+    name = cfg.OPTIM.OPTIMIZER.lower()
+    if name == "adam":
+        return optax.chain(
+            optax.add_decayed_weights(cfg.OPTIM.WD),
+            optax.adam(cfg.OPTIM.LR),
+        )
+    assert name == "sgd", f"unknown optimizer {name!r}"
+    # torch SGD momentum: buf = momentum*buf + grad; update = lr*buf
+    return optax.sgd(cfg.OPTIM.LR, momentum=cfg.OPTIM.MOMENTUM,
+                     nesterov=False)
+
+
+def create_train_state(rng, model, cfg, sample_input, tx=None,
+                       train: bool = False) -> TrainState:
+    variables = model.init(rng, sample_input, train=train)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = tx if tx is not None else make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )

@@ -1,0 +1,279 @@
+"""Jitted train / eval step factories.
+
+Each reference epoch function (online_train.py: triplet_train_epoch :245,
+contrastive_train_epoch :136, UberNCE_train_epoch :60) becomes one pure
+jitted step: forward + loss + grad + optimizer + BN-stats update in a
+single XLA program with donated state. Under a data-sharded batch the
+global-mean loss makes gradient averaging implicit (the DDP all-reduce of
+the reference disappears into XLA collectives), and BN reductions are
+global (sync-BN semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import (INTRA_NEG_LAMBDA, RSP_LAMBDA, intra_neg_loss, llc_loss,
+                      nce_average, nce_average_intra_neg, nce_criterion,
+                      nce_softmax_loss, online_triplet_loss, rsp_loss)
+from ..models.moco import (dequeue_and_enqueue, infonce_forward,
+                           momentum_update, ubernce_forward)
+from ..models.slowfast import multipathway_input
+from .state import TrainState
+
+
+def _encode(state: TrainState, params, clips, cfg, train: bool,
+            rngs=None):
+    """Run the encoder; returns (embeddings, new_batch_stats)."""
+    if cfg.MODEL.ARCH == "slowfast":
+        clips = multipathway_input(clips, cfg.SLOWFAST.ALPHA,
+                                   fast_mask=cfg.SLOWFAST.FAST_MASK)
+    variables = {"params": params, "batch_stats": state.batch_stats}
+    if train:
+        out, mutated = state.apply_fn(variables, clips, train=True,
+                                      mutable=["batch_stats"], rngs=rngs)
+        new_bs = mutated["batch_stats"]
+    else:
+        out = state.apply_fn(variables, clips, train=False)
+        new_bs = state.batch_stats
+    if isinstance(out, tuple):
+        out = out[0]
+    return out, new_bs
+
+
+def diff_view(x: jnp.ndarray) -> jnp.ndarray:
+    """Residual 'res' modality view: frame difference rescaled to [0,1]
+    (reference online_train.py:228-230; roll over the T axis)."""
+    return ((x - jnp.roll(x, 1, axis=1)) + 1.0) / 2.0
+
+
+def shuffle_view(x: jnp.ndarray, key, block_size: int = 2) -> jnp.ndarray:
+    """Intra-negative view: temporally block-shuffled clip (the device-side
+    equivalent of datasets/temporal_transforms.py Shuffle, :233-246)."""
+    b, t = x.shape[0], x.shape[1]
+    n_blocks = t // block_size
+    perm = jax.random.permutation(key, n_blocks)
+    idx = (perm[:, None] * block_size
+           + jnp.arange(block_size)[None, :]).reshape(-1)
+    return x[:, idx]
+
+
+def make_triplet_train_step(cfg) -> Callable:
+    """Step for LOSS.TYPE='triplet' (ref triplet_train_epoch :245-434).
+
+    batch dict: anchor, positive, optional extra (fast_positive / anchor2 /
+    intra_neg per LOSS flags), targets (2B,). Returns (state, metrics).
+    """
+    margin = cfg.LOSS.MARGIN
+    metric = cfg.LOSS.DIST_METRIC
+    strategy = cfg.DATASET.SAMPLING_STRATEGY
+    use_rsp = cfg.LOSS.RELATIVE_SPEED_PERCEPTION
+    use_llc = cfg.LOSS.LOCAL_LOCAL_CONTRAST
+    use_intra = cfg.LOSS.INTRA_NEGATIVE
+    llc_margin = cfg.LOSS.LOCAL_LOCAL_MARGIN
+    llc_weight = cfg.LOSS.LOCAL_LOCAL_WEIGHT
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, key):
+        b = batch["anchor"].shape[0]
+        mine_key, drop_key = jax.random.split(key)
+
+        def loss_fn(params):
+            clips = [batch["anchor"], batch["positive"]]
+            if use_rsp or use_llc or use_intra:
+                clips.append(batch["extra"])
+            emb, new_bs = _encode(state, params, jnp.concatenate(clips, 0),
+                                  cfg, train=True,
+                                  rngs={"dropout": drop_key})
+            emb2 = emb[:2 * b]
+            t_loss, n_triplets = online_triplet_loss(
+                emb2, batch["targets"], mine_key, margin=margin,
+                dist_metric=metric, sampling_strategy=strategy)
+            aux_loss = 0.0
+            if use_rsp:
+                aux_loss = RSP_LAMBDA * rsp_loss(emb[:b], emb[b:2 * b],
+                                                 emb[2 * b:], metric)
+            elif use_llc:
+                aux_loss = llc_weight * llc_loss(emb[:b], emb[b:2 * b],
+                                                 emb[2 * b:], llc_margin,
+                                                 metric)
+            elif use_intra:
+                aux_loss = INTRA_NEG_LAMBDA * intra_neg_loss(
+                    emb[:b], emb[b:2 * b], emb[2 * b:], metric)
+            loss = t_loss + aux_loss
+            return loss, (new_bs, t_loss, aux_loss, n_triplets)
+
+        (loss, (new_bs, t_loss, aux, n_trip)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        metrics = {"loss": loss, "triplet_loss": t_loss, "aux_loss": aux,
+                   "n_triplets": n_trip}
+        return state, metrics
+
+    return step
+
+
+def make_contrastive_train_step(cfg, n_data: int, modality: str = "rgb",
+                                intra_neg: bool = False,
+                                neg_type: str = "shuffle") -> Callable:
+    """Step for LOSS.TYPE='contrastive' (ref contrastive_train_epoch
+    :136-225): two views through the encoder, NCEAverage banks, NCE/softmax
+    criteria. batch: view1, view2 (ignored for 'res' modality), index."""
+    K, T, M = cfg.LOSS.K, cfg.LOSS.T, cfg.LOSS.M
+    use_softmax = True
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, key):
+        nce_key, view_key, drop_key = jax.random.split(key, 3)
+
+        def loss_fn(params):
+            view1 = batch["view1"]
+            view2 = (diff_view(view1) if modality == "res"
+                     else batch["view2"])
+            feat1, bs1 = _encode(state, params, view1, cfg, train=True,
+                                 rngs={"dropout": drop_key})
+            st = state.replace(batch_stats=bs1)
+            feat2, bs2 = _encode(st, params, view2, cfg, train=True,
+                                 rngs={"dropout": drop_key})
+            if intra_neg:
+                neg_view = shuffle_view(view1, view_key)
+                st = state.replace(batch_stats=bs2)
+                feat_neg, bs2 = _encode(st, params, neg_view, cfg,
+                                        train=True,
+                                        rngs={"dropout": drop_key})
+                out1, out2, new_nce = nce_average_intra_neg(
+                    state.nce, feat1, feat2, feat_neg, batch["index"],
+                    nce_key, K=K, T=T, momentum=M, use_softmax=use_softmax)
+            else:
+                out1, out2, new_nce = nce_average(
+                    state.nce, feat1, feat2, batch["index"], nce_key, K=K,
+                    T=T, momentum=M, use_softmax=use_softmax)
+            if use_softmax:
+                l1 = nce_softmax_loss(out1)
+                l2 = nce_softmax_loss(out2)
+            else:
+                l1 = nce_criterion(out1, n_data)
+                l2 = nce_criterion(out2, n_data)
+            loss = l1 + l2
+            probs = (jnp.mean(out1[:, 0]), jnp.mean(out2[:, 0]))
+            return loss, (bs2, new_nce, l1, l2, probs)
+
+        (loss, (new_bs, new_nce, l1, l2, probs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs,
+                                                     nce=new_nce)
+        metrics = {"loss": loss, "view1_loss": l1, "view2_loss": l2,
+                   "view1_prob": probs[0], "view2_prob": probs[1]}
+        return state, metrics
+
+    return step
+
+
+def _topk_accuracy(logits, target, ks=(1, 5)):
+    """reference coclr_utils calc_topk_accuracy semantics."""
+    _, pred = jax.lax.top_k(logits, max(ks))
+    correct = pred == target[:, None]
+    return [jnp.mean(jnp.any(correct[:, :k], axis=1).astype(jnp.float32))
+            for k in ks]
+
+
+def make_moco_train_step(cfg, encoder, uber: bool = False,
+                         axis_name: Optional[str] = None) -> Callable:
+    """Step for LOSS.TYPE='UberNCE' arches info_nce / uber_nce
+    (ref UberNCE_train_epoch :60-133 + models/infoNCE.py forward).
+
+    batch: x1, x2 (two augmented clips), label. Performs the momentum
+    update and queue enqueue after the gradient step, like the reference
+    (momentum update inside forward :86-90, enqueue at :198)."""
+    T = 0.07  # ref model_selector models/model_utils.py:122-125
+    m = 0.999
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, key):
+        def loss_fn(params):
+            qvars = {"params": params, "batch_stats": state.batch_stats}
+            if uber:
+                logits, mask, keys, new_bs = ubernce_forward(
+                    encoder, qvars, state.moco, batch["x1"], batch["x2"],
+                    batch["label"], T=T, train=True)
+                logp = jax.nn.log_softmax(logits, axis=1)
+                mask_f = mask.astype(jnp.float32)
+                loss = jnp.mean(-jnp.sum(logp * mask_f, 1)
+                                / jnp.sum(mask_f, 1))
+                top1 = jnp.mean(jnp.take_along_axis(
+                    mask_f, jnp.argmax(logits, 1)[:, None], 1)[:, 0])
+                aux = (keys, new_bs, top1, top1)
+            else:
+                logits, target, keys, new_bs = infonce_forward(
+                    encoder, qvars, state.moco, batch["x1"], batch["x2"],
+                    T=T, train=True)
+                loss = jnp.mean(jax.nn.logsumexp(logits, 1) - logits[:, 0])
+                t1, t5 = _topk_accuracy(logits, target)
+                aux = (keys, new_bs, t1, t5)
+            return loss, aux
+
+        (loss, (keys, new_bs, top1, top5)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+
+        moco = state.moco.replace(
+            key_params=momentum_update(state.params, state.moco.key_params, m),
+            key_batch_stats=state.batch_stats,
+        )
+        moco = dequeue_and_enqueue(
+            moco, keys, labels=batch["label"] if uber else None,
+            axis_name=axis_name)
+        state = state.replace(moco=moco)
+        return state, {"loss": loss, "top1": top1, "top5": top5}
+
+    return step
+
+
+def make_classify_train_step(cfg, weight_decay: float = 1e-3,
+                             train_what: str = "ft") -> Callable:
+    """Supervised CE step for finetune / linear probe
+    (reference coclr_classify.py:395-458). Model output may be
+    (logits, feat) (LinearClassifier) or logits."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, key):
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, mutated = state.apply_fn(
+                variables, batch["clips"], train=True,
+                mutable=["batch_stats"], rngs={"dropout": key})
+            logits = out[0] if isinstance(out, tuple) else out
+            labels = batch["label"]
+            loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), labels))
+            t1, t5 = _topk_accuracy(logits, labels)
+            return loss, (mutated["batch_stats"], t1, t5)
+
+        (loss, (new_bs, t1, t5)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        return state, {"loss": loss, "top1": t1, "top5": t5}
+
+    return step
+
+
+def make_embed_step(cfg, model) -> Callable:
+    """Eval-mode embedding forward (used by evaluate/validation/clustering)."""
+
+    @jax.jit
+    def step(params, batch_stats, clips):
+        if cfg.MODEL.ARCH == "slowfast":
+            clips = multipathway_input(clips, cfg.SLOWFAST.ALPHA,
+                                       fast_mask=cfg.SLOWFAST.FAST_MASK)
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          clips, train=False)
+        if isinstance(out, tuple):
+            out = out[0]
+        return out.astype(jnp.float32)
+
+    return step
