@@ -152,9 +152,92 @@ def main():
     step_fn = make_classify_train_step(cfg, weight_decay=args.wd,
                                        train_what=args.train_what)
     print(f"coclr_classify: net={args.net} train_what={args.train_what} "
-          f"epochs={args.epochs} (data wiring per environment)")
-    # Training/eval loop runs when a dataset is configured; the LMDB path
-    # requires the lmdb package (see data/lmdb_data.py).
+          f"epochs={args.epochs}")
+
+    # ---- test-only path (reference coclr_classify.py:231-290) ----------
+    if args.checkpoint_path:
+        from video_similarity_search_tpu.data import build_data_loader
+        from video_similarity_search_tpu.evaluation.classify import (
+            test_10crop, test_retrieval)
+
+        payload = load_checkpoint(args.checkpoint_path)
+        if "params" in payload:
+            state, _, _ = restore_train_state(state, payload)
+        if args.retrieval:
+            train_loader, _ = build_data_loader(
+                "train", cfg, triplets=False, req_train_shuffle=False,
+                drop_last=False)
+            test_loader, _ = build_data_loader(
+                "test", cfg, triplets=False, drop_last=False, batch_size=1)
+            test_retrieval(state, model, cfg, train_loader, test_loader)
+        else:
+            test_loader, _ = build_data_loader(
+                "val", cfg, triplets=False, drop_last=False)
+            test_10crop(state, model, cfg, test_loader)
+        return
+
+    # ---- training loop (reference coclr_classify.py:366-389) -----------
+    if not cfg.DATASET.ANNOTATION_PATH:
+        print("no dataset configured (set --annotation_path/--vid_path "
+              "or use an LMDB store); exiting after setup")
+        return state, step_fn
+
+    from video_similarity_search_tpu.data import build_data_loader
+    from video_similarity_search_tpu.data.augment import (normalize_only,
+                                                          train_augment)
+    from video_similarity_search_tpu.train.checkpoint import save_checkpoint
+    from video_similarity_search_tpu.utils import AverageMeter
+
+    cfg.DATA.TEMPORAL_CROP = "random"
+    train_loader, _ = build_data_loader("train", cfg, triplets=False,
+                                        req_train_shuffle=True,
+                                        drop_last=True,
+                                        batch_size=args.batch_size)
+    cfg_val = cfg.clone()
+    cfg_val.DATA.TEMPORAL_CROP = "center"
+    val_loader, _ = build_data_loader("val", cfg_val, triplets=False,
+                                      drop_last=False,
+                                      batch_size=args.batch_size)
+
+    best_acc = 0.0
+    key = jax.random.key(0)
+    for epoch in range(args.epochs):
+        lr = adjust_learning_rate(args.lr, epoch, args.epochs,
+                                  args.schedule, args.cosine)
+        meters = {k: AverageMeter(k) for k in ("loss", "top1", "top5")}
+        train_loader.set_epoch(epoch)
+        for i, batch in enumerate(train_loader):
+            k = jax.random.fold_in(key, epoch * 10000 + i)
+            clips = train_augment(jnp.asarray(batch["clip"]), k,
+                                  cfg.DATA.SAMPLE_SIZE,
+                                  dataset=cfg.TRAIN.DATASET) \
+                if batch["clip"].shape[2] > cfg.DATA.SAMPLE_SIZE else \
+                normalize_only(jnp.asarray(batch["clip"]),
+                               dataset=cfg.TRAIN.DATASET)
+            dev_batch = {"clips": clips,
+                         "label": jnp.asarray(batch["target"])}
+            state, m = step_fn(state, dev_batch, k)
+            for name in meters:
+                meters[name].update(float(m[name]), len(batch["target"]))
+        print(f"epoch {epoch}: lr {lr:.5f} loss {meters['loss'].avg:.4f} "
+              f"top1 {meters['top1'].avg:.4f}")
+        # validation
+        v_top1 = AverageMeter("v1")
+        for batch in val_loader:
+            clips = normalize_only(jnp.asarray(batch["clip"]),
+                                   dataset=cfg.TRAIN.DATASET)
+            out = model.apply({"params": state.params,
+                               "batch_stats": state.batch_stats},
+                              clips, train=False)
+            logits = out[0] if isinstance(out, tuple) else out
+            pred = np.asarray(jnp.argmax(logits, axis=1))
+            v_top1.update(float(np.mean(pred == batch["target"])),
+                          len(batch["target"]))
+        print(f"  val top1 {v_top1.avg:.4f}")
+        if v_top1.avg > best_acc:
+            best_acc = v_top1.avg
+            save_checkpoint(args.output, args.net, state, epoch, best_acc,
+                            is_best=True)
     return state, step_fn
 
 

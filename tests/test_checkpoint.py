@@ -45,12 +45,12 @@ def test_conv_layout_conversion():
     sd = _fake_torch_sd()
     params, stats = torch_resnet3d_to_flax(sd)
     # torch (Cout, Cin, kT, kH, kW) -> flax (kT, kH, kW, Cin, Cout)
-    assert params["conv1"]["kernel"].shape == (7, 7, 7, 3, 64)
-    assert params["layer1_0"]["conv1"]["kernel"].shape == (3, 3, 3, 64, 64)
-    assert params["layer2_0"]["downsample_conv"]["kernel"].shape == \
-        (1, 1, 1, 64, 128)
+    assert params["conv1"]["Conv_0"]["kernel"].shape == (7, 7, 7, 3, 64)
+    assert params["layer1_0"]["conv1"]["Conv_0"]["kernel"].shape == (3, 3, 3, 64, 64)
+    assert params["layer2_0"]["downsample_conv"]["Conv_0"]["kernel"]\
+        .shape == (1, 1, 1, 64, 128)
     np.testing.assert_allclose(
-        np.asarray(params["conv1"]["kernel"]),
+        np.asarray(params["conv1"]["Conv_0"]["kernel"]),
         np.transpose(sd["conv1.weight"], (2, 3, 4, 1, 0)))
 
 

@@ -164,7 +164,8 @@ def torch_resnet3d_to_flax(sd: Dict[str, np.ndarray],
                     sd[torch_prefix + ".running_var"])
 
     # stem
-    _set_nested(params, ("conv1", "kernel"), conv(sd["conv1.weight"]))
+    _set_nested(params, ("conv1", "Conv_0", "kernel"),
+                conv(sd["conv1.weight"]))
     put_bn(("bn1", "BatchNorm_0"), "bn1")
 
     # stages
@@ -172,7 +173,8 @@ def torch_resnet3d_to_flax(sd: Dict[str, np.ndarray],
         m = re.match(r"^layer(\d)\.(\d+)\.conv(\d)\.weight$", key)
         if m:
             s, b, c = m.groups()
-            _set_nested(params, (f"layer{s}_{b}", f"conv{c}", "kernel"),
+            _set_nested(params,
+                        (f"layer{s}_{b}", f"conv{c}", "Conv_0", "kernel"),
                         conv(sd[key]))
         m = re.match(r"^layer(\d)\.(\d+)\.bn(\d)\.weight$", key)
         if m:
@@ -183,7 +185,8 @@ def torch_resnet3d_to_flax(sd: Dict[str, np.ndarray],
         if m:
             s, b = m.groups()
             _set_nested(params,
-                        (f"layer{s}_{b}", "downsample_conv", "kernel"),
+                        (f"layer{s}_{b}", "downsample_conv", "Conv_0",
+                         "kernel"),
                         conv(sd[key]))
         m = re.match(r"^layer(\d)\.(\d+)\.downsample\.1\.weight$", key)
         if m:
