@@ -11,7 +11,6 @@ frame-JPEG pipeline.
 """
 
 import argparse
-import math
 import os
 import sys
 
@@ -49,15 +48,19 @@ def build_parser():
     return parser
 
 
-def adjust_learning_rate(base_lr, epoch, epochs, schedule, cosine):
-    """reference coclr_classify.py:825-830."""
+def make_lr_schedule(base_lr, epochs, milestones, cosine, steps_per_epoch):
+    """Step-indexed optax schedule matching the reference per-epoch
+    ``adjust_learning_rate`` (coclr_classify.py:825-830): cosine
+    ``lr*0.5*(1+cos(pi*epoch/epochs))`` or x0.1 drops at the milestone
+    epochs. Applied THROUGH the optimizer (round-1 verdict: the reference
+    computed the LR and never fed it to optax)."""
+    import optax
+
     if cosine:
-        return base_lr * 0.5 * (1.0 + math.cos(math.pi * epoch / epochs))
-    lr = base_lr
-    for milestone in schedule:
-        if epoch >= milestone:
-            lr *= 0.1
-    return lr
+        return optax.cosine_decay_schedule(
+            base_lr, max(epochs * steps_per_epoch, 1), alpha=0.0)
+    return optax.piecewise_constant_schedule(
+        base_lr, {m * steps_per_epoch: 0.1 for m in milestones})
 
 
 def freeze_mask(params, train_what: str):
@@ -118,37 +121,44 @@ def main():
     variables = model.init(jax.random.key(0), sample, train=False)
     params = variables["params"]
 
+    batch_stats = variables.get("batch_stats", {})
     if args.pretrain:
         payload = load_checkpoint(args.pretrain)
         if "torch_state_dict" in payload:
-            # backbone-only partial load (encoder_q remap done in loader)
+            # torch MoCo/CoCLR ckpt: encoder_q.0. -> backbone. remap is done
+            # by the loader; convert the S3D backbone tensors and
+            # partial-load ("neq" semantics, reference coclr_classify.py:
+            # 244-252 + coclr_utils/utils.py:93-118)
             from video_similarity_search_tpu.train.checkpoint import \
-                load_torch_checkpoint
-            sd = payload["torch_state_dict"]
-            print(f"pretrain ckpt with {len(sd)} tensors; partial-loading "
-                  "matching backbone keys (neq semantics)")
+                torch_linear_classifier_to_flax
+            p, s = torch_linear_classifier_to_flax(
+                payload["torch_state_dict"])
+            params, batch_stats = merge_pretrained(params, batch_stats, p, s)
         else:
-            params, _ = merge_pretrained(params, variables.get(
-                "batch_stats", {}), payload.get("params", {}),
+            params, batch_stats = merge_pretrained(
+                params, batch_stats, payload.get("params", {}),
                 payload.get("batch_stats", {}))
 
-    mask = freeze_mask(params, args.train_what)
-    tx = optax.multi_transform(
-        {
-            "train": optax.chain(optax.add_decayed_weights(args.wd),
-                                 optax.sgd(args.lr, momentum=0.9)),
-            "freeze": optax.set_to_zero(),
-        },
-        mask,
-    )
-    state = TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(params),
-        tx=tx,
-        apply_fn=model.apply,
-    )
+    def build_state(lr_or_schedule):
+        mask = freeze_mask(params, args.train_what)
+        tx = optax.multi_transform(
+            {
+                "train": optax.chain(
+                    optax.add_decayed_weights(args.wd),
+                    optax.sgd(lr_or_schedule, momentum=0.9)),
+                "freeze": optax.set_to_zero(),
+            },
+            mask,
+        )
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            tx=tx,
+            apply_fn=model.apply,
+        )
+
     step_fn = make_classify_train_step(cfg, weight_decay=args.wd,
                                        train_what=args.train_what)
     print(f"coclr_classify: net={args.net} train_what={args.train_what} "
@@ -160,9 +170,28 @@ def main():
         from video_similarity_search_tpu.evaluation.classify import (
             test_10crop, test_retrieval)
 
+        state = build_state(args.lr)
         payload = load_checkpoint(args.checkpoint_path)
         if "params" in payload:
             state, _, _ = restore_train_state(state, payload)
+        if args.lmdb_root:
+            from video_similarity_search_tpu.data.lmdb_data import \
+                build_lmdb_loader
+            if args.retrieval:
+                train_loader, _ = build_lmdb_loader(
+                    args.dataset, args.lmdb_root, "train", cfg,
+                    args.batch_size)
+                test_loader, _ = build_lmdb_loader(
+                    args.dataset, args.lmdb_root, "test", cfg,
+                    args.batch_size)
+                test_retrieval(state, model, cfg, train_loader, test_loader)
+            else:
+                test_loader, _ = build_lmdb_loader(
+                    args.dataset, args.lmdb_root, "val", cfg,
+                    args.batch_size,
+                    buffer_size=int(1.14 * cfg.DATA.SAMPLE_SIZE))
+                test_10crop(state, model, cfg, test_loader)
+            return
         if args.retrieval:
             train_loader, _ = build_data_loader(
                 "train", cfg, triplets=False, req_train_shuffle=False,
@@ -171,16 +200,19 @@ def main():
                 "test", cfg, triplets=False, drop_last=False, batch_size=1)
             test_retrieval(state, model, cfg, train_loader, test_loader)
         else:
+            # decode buffer 1.14x the crop so the five crops differ
+            # (reference Scale(1.14*img_dim) before FiveCrop, :528-534)
             test_loader, _ = build_data_loader(
-                "val", cfg, triplets=False, drop_last=False)
+                "val", cfg, triplets=False, drop_last=False,
+                buffer_size=int(1.14 * cfg.DATA.SAMPLE_SIZE))
             test_10crop(state, model, cfg, test_loader)
         return
 
     # ---- training loop (reference coclr_classify.py:366-389) -----------
-    if not cfg.DATASET.ANNOTATION_PATH:
+    if not cfg.DATASET.ANNOTATION_PATH and not args.lmdb_root:
         print("no dataset configured (set --annotation_path/--vid_path "
-              "or use an LMDB store); exiting after setup")
-        return state, step_fn
+              "or --lmdb_root); exiting after setup")
+        return build_state(args.lr), step_fn
 
     from video_similarity_search_tpu.data import build_data_loader
     from video_similarity_search_tpu.data.augment import (normalize_only,
@@ -188,22 +220,35 @@ def main():
     from video_similarity_search_tpu.train.checkpoint import save_checkpoint
     from video_similarity_search_tpu.utils import AverageMeter
 
-    cfg.DATA.TEMPORAL_CROP = "random"
-    train_loader, _ = build_data_loader("train", cfg, triplets=False,
-                                        req_train_shuffle=True,
-                                        drop_last=True,
-                                        batch_size=args.batch_size)
-    cfg_val = cfg.clone()
-    cfg_val.DATA.TEMPORAL_CROP = "center"
-    val_loader, _ = build_data_loader("val", cfg_val, triplets=False,
-                                      drop_last=False,
-                                      batch_size=args.batch_size)
+    if args.lmdb_root:
+        from video_similarity_search_tpu.data.lmdb_data import \
+            build_lmdb_loader
+        train_loader, _ = build_lmdb_loader(
+            args.dataset, args.lmdb_root, "train", cfg, args.batch_size)
+        val_loader, _ = build_lmdb_loader(
+            args.dataset, args.lmdb_root, "val", cfg, args.batch_size,
+            buffer_size=cfg.DATA.SAMPLE_SIZE)
+    else:
+        cfg.DATA.TEMPORAL_CROP = "random"
+        train_loader, _ = build_data_loader("train", cfg, triplets=False,
+                                            req_train_shuffle=True,
+                                            drop_last=True,
+                                            batch_size=args.batch_size)
+        cfg_val = cfg.clone()
+        cfg_val.DATA.TEMPORAL_CROP = "center"
+        val_loader, _ = build_data_loader("val", cfg_val, triplets=False,
+                                          drop_last=False,
+                                          batch_size=args.batch_size)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    lr_schedule = make_lr_schedule(args.lr, args.epochs, args.schedule,
+                                   args.cosine, steps_per_epoch)
+    state = build_state(lr_schedule)
 
     best_acc = 0.0
     key = jax.random.key(0)
     for epoch in range(args.epochs):
-        lr = adjust_learning_rate(args.lr, epoch, args.epochs,
-                                  args.schedule, args.cosine)
+        lr = float(lr_schedule(epoch * steps_per_epoch))
         meters = {k: AverageMeter(k) for k in ("loss", "top1", "top5")}
         train_loader.set_epoch(epoch)
         for i, batch in enumerate(train_loader):

@@ -67,8 +67,11 @@ def main():
     train_loader, _ = build_data_loader("train", cfg, triplets=False,
                                         req_train_shuffle=False,
                                         drop_last=False)
+    # --crop center: one center clip per test video; avg (default): mean
+    # over sliding windows (reference evaluate.py:89-143)
     test_loader, _ = build_data_loader("test", cfg, triplets=False,
-                                       drop_last=False, batch_size=1)
+                                       drop_last=False, batch_size=1,
+                                       test_windows=args.crop != "center")
     topk = k_nearest_embeddings(state, model, cfg, train_loader, test_loader,
                                 cache_dir=cfg.OUTPUT_PATH)
     print(f"total runtime: {time.time() - start:.1f}s")

@@ -49,21 +49,34 @@ def main():
     parser = argparse.ArgumentParser("iic_retrieve_clips")
     parser.add_argument("--cfg", dest="cfg_file", required=True)
     parser.add_argument("--checkpoint_path", default=None)
-    parser.add_argument("--video_dir", required=True)
-    parser.add_argument("--train_list", required=True)
-    parser.add_argument("--test_list", required=True)
-    parser.add_argument("--class_index", required=True)
+    # explicit-list mode (any dataset)
+    parser.add_argument("--video_dir", default=None)
+    parser.add_argument("--train_list", default=None)
+    parser.add_argument("--test_list", default=None)
+    parser.add_argument("--class_index", default=None)
+    # layout mode (reference directory conventions): --dataset + --root_dir
+    parser.add_argument("--dataset", default=None,
+                        choices=[None, "ucf101", "hmdb51"],
+                        help="use the reference split layout under "
+                             "--root_dir (ucf101: split/+videos/; hmdb51: "
+                             "prev_split/+avi/, iic_datasets/hmdb51.py:41-50)")
+    parser.add_argument("--root_dir", default=None)
+    parser.add_argument("--which_split", default="1")
     parser.add_argument("--feature_dir", default="features")
     parser.add_argument("--clip_len", type=int, default=16)
     parser.add_argument("--sample_num", type=int, default=10)
     args = parser.parse_args()
+    if not args.dataset and not (args.video_dir and args.train_list
+                                 and args.test_list and args.class_index):
+        parser.error("pass either --dataset+--root_dir or the explicit "
+                     "--video_dir/--train_list/--test_list/--class_index")
 
     import jax
     import jax.numpy as jnp
 
     from video_similarity_search_tpu.config import get_cfg
     from video_similarity_search_tpu.data.iic_data import (
-        ClipRetrievalDataset, parse_split_file)
+        ClipRetrievalDataset, UCF101ClipRetrievalDataset, parse_split_file)
     from video_similarity_search_tpu.evaluation import iic_retrieval_acc
     from video_similarity_search_tpu.models import model_selector
     from video_similarity_search_tpu.train import (create_train_state,
@@ -88,14 +101,22 @@ def main():
         else:
             state, _, _ = restore_train_state(state, payload)
 
-    mk = lambda lst: ClipRetrievalDataset(
-        args.video_dir, parse_split_file(lst, args.class_index),
-        clip_len=args.clip_len, sample_num=args.sample_num,
-        sample_size=cfg.DATA.SAMPLE_SIZE)
+    if args.dataset:
+        mk_split = lambda train: UCF101ClipRetrievalDataset(
+            args.root_dir, args.clip_len, sample_num=args.sample_num,
+            train=train, split=args.which_split,
+            sample_size=cfg.DATA.SAMPLE_SIZE, layout=args.dataset)
+        train_ds, test_ds = mk_split(True), mk_split(False)
+    else:
+        mk = lambda lst: ClipRetrievalDataset(
+            args.video_dir, parse_split_file(lst, args.class_index),
+            clip_len=args.clip_len, sample_num=args.sample_num,
+            sample_size=cfg.DATA.SAMPLE_SIZE)
+        train_ds, test_ds = mk(args.train_list), mk(args.test_list)
     train_feats, train_cls = extract_features(
-        model, state, cfg, mk(args.train_list), args.feature_dir, "train")
+        model, state, cfg, train_ds, args.feature_dir, "train")
     test_feats, test_cls = extract_features(
-        model, state, cfg, mk(args.test_list), args.feature_dir, "test")
+        model, state, cfg, test_ds, args.feature_dir, "test")
 
     topk = iic_retrieval_acc(test_feats, test_cls, train_feats, train_cls)
     out = {str(k): v for k, v in topk.items()}

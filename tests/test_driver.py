@@ -1,0 +1,161 @@
+"""Driver-level end-to-end tests on the virtual 8-device mesh.
+
+Covers the reference ``online_train.train`` control flow (online_train.py:
+441-776) as rebuilt in ``train/driver.py``: mesh-sharded triplet training,
+LOSS.TYPE dispatch to contrastive (NCE banks) and UberNCE (MoCo queue)
+paths, the every-10-epochs retrieval eval, --vector checkpointing, and
+static (pad+mask) batch shapes across a ragged tail.
+"""
+
+import argparse
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from synthetic_data import make_synthetic_ucf
+from video_similarity_search_tpu.config import get_cfg
+from video_similarity_search_tpu.train.driver import train
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_driver")
+    vid_path, ann_path = make_synthetic_ucf(str(root))
+    return vid_path, ann_path
+
+
+def _base_cfg(synth, out_dir, arch="3dresnet"):
+    vid_path, ann_path = synth
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = arch
+    cfg.RESNET.MODEL_DEPTH = 10
+    cfg.RESNET.NO_MAX_POOl = True
+    cfg.RESNET.HIDDEN_LAYER = 64
+    cfg.RESNET.OUT_DIM = 16
+    cfg.DATA.SAMPLE_DURATION = 4
+    cfg.DATA.SAMPLE_SIZE = 16
+    cfg.TRAIN.DATASET = "ucf101"
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TRAIN.EPOCHS = 1
+    cfg.TRAIN.NUM_DATA_WORKERS = 2
+    cfg.TRAIN.LOG_INTERVAL = 100
+    cfg.VAL.BATCH_SIZE = 8
+    cfg.DATASET.VID_PATH = vid_path
+    cfg.DATASET.ANNOTATION_PATH = ann_path
+    cfg.DATASET.SAMPLING_STRATEGY = "random_semi_hard"
+    cfg.DATASET.POSITIVE_SAMPLING_P = 1.0
+    cfg.OPTIM.LR = 0.01
+    cfg.OUTPUT_PATH = str(out_dir)
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def _args(**kw):
+    defaults = dict(checkpoint_path=None, start_epoch=None,
+                    iterative_cluster=False, vector=False)
+    defaults.update(kw)
+    return argparse.Namespace(**defaults)
+
+
+def test_driver_triplet_mesh_end_to_end(synth, tmp_path):
+    """One full epoch of driver.train on the 8-device mesh: sharded
+    batches, validation, epoch-0 retrieval eval, checkpoint."""
+    assert jax.device_count() == 8
+    cfg = _base_cfg(synth, tmp_path)
+    state = train(_args(), cfg)
+    assert int(np.asarray(state.step)) > 0
+    # metric logs written (reference txt-log surface)
+    logs = os.path.join(str(tmp_path), "tnet_checkpoints")
+    assert os.path.exists(os.path.join(logs, "train_loss_and_acc.txt"))
+    assert os.path.exists(os.path.join(logs, "val_loss_and_acc.txt"))
+    # epoch 0 %10==0 -> retrieval eval ran (reference online_train.py:736)
+    assert os.path.exists(os.path.join(logs, "global_retrieval_acc.txt"))
+    assert os.path.exists(os.path.join(str(tmp_path), "tnet_checkpoints",
+                                       "3dresnet", "checkpoint"))
+    # every param is laid out over the mesh (replicated) not a single device
+    leaf = jax.tree.leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_driver_contrastive_loss_decreases(synth, tmp_path):
+    """LOSS.TYPE='contrastive': NCE banks update and the loss decreases
+    over two epochs (VERDICT round-1 item 3 done-criterion)."""
+    cfg = _base_cfg(synth, tmp_path)
+    cfg.LOSS.TYPE = "contrastive"
+    cfg.LOSS.FEAT_DIM = 16
+    cfg.LOSS.K = 4  # few negatives on 9 videos
+    cfg.TRAIN.EPOCHS = 2
+    cfg.OPTIM.LR = 0.003  # NCE on 9 videos diverges at larger lrs
+    state = train(_args(), cfg)
+    assert state.nce is not None
+    # memory banks renormalized to unit rows once touched
+    norms = np.linalg.norm(np.asarray(state.nce.memory_l), axis=1)
+    assert np.all(np.isfinite(norms))
+    lines = open(os.path.join(str(tmp_path), "tnet_checkpoints",
+                              "train_loss_and_acc.txt")).read().splitlines()
+    losses = [float(l.split()[-1]) for l in lines]
+    assert len(losses) == 2
+    assert all(np.isfinite(losses))
+    assert losses[1] < losses[0]
+
+
+def test_driver_ubernce_queue_advances(synth, tmp_path):
+    """LOSS.TYPE='UberNCE' arch uber_nce: queue pointer advances, labels
+    enqueue, loss finite (VERDICT round-1 item 3 done-criterion)."""
+    cfg = _base_cfg(synth, tmp_path, arch="uber_nce")
+    cfg.LOSS.TYPE = "UberNCE"
+    cfg.LOSS.FEAT_DIM = 128  # MoCoEncoder output dim
+    cfg.LOSS.K = 16  # divisible by batch 8
+    cfg.DATA.SAMPLE_SIZE = 32  # S3D minimums: H,W>=32 ...
+    cfg.DATA.SAMPLE_DURATION = 8  # ... and T>=8 (block5 pool)
+    cfg.TRAIN.EPOCHS = 1
+    state = train(_args(), cfg)
+    assert state.moco is not None
+    # one epoch = len(train)//8 = 1 step of 8 keys -> ptr = 8 % 16
+    assert int(np.asarray(state.moco.queue_ptr)) == 8
+    assert np.any(np.asarray(state.moco.queue_labels) >= 0)
+    lines = open(os.path.join(str(tmp_path), "tnet_checkpoints",
+                              "train_loss_and_acc.txt")).read().splitlines()
+    assert np.isfinite(float(lines[-1].split()[-1]))
+
+
+def test_driver_vector_checkpointing(synth, tmp_path):
+    """--vector: every-epoch checkpoint to the cluster-stable path, plus
+    milestone checkpoints to OUTPUT_PATH (reference online_train.py:756-776)."""
+    cfg = _base_cfg(synth, tmp_path / "out")
+    stable = tmp_path / "stable" / "ckpt"
+    os.makedirs(str(tmp_path / "stable"), exist_ok=True)
+    train(_args(vector=True, checkpoint_path=str(stable)), cfg)
+    # epoch 0 is a milestone (epoch % 100 == 0) -> OUTPUT_PATH checkpoint
+    assert os.path.exists(os.path.join(str(tmp_path / "out"),
+                                       "tnet_checkpoints", "3dresnet",
+                                       "checkpoint"))
+    # cluster-stable path checkpoint always written
+    assert os.path.exists(os.path.join(str(tmp_path / "stable"),
+                                       "tnet_checkpoints", "3dresnet",
+                                       "checkpoint"))
+
+
+def test_ragged_tail_single_trace(synth, tmp_path):
+    """Pad+mask keeps one jitted step signature across an epoch with a
+    ragged tail (VERDICT round-1 item 7 done-criterion)."""
+    import jax.numpy as jnp
+
+    from video_similarity_search_tpu.data import build_data_loader
+
+    cfg = _base_cfg(synth, tmp_path)
+    cfg.TRAIN.BATCH_SIZE = 4
+    # 9 train videos / batch 4 with drop_last=False -> 2 full + 1 ragged
+    loader, _ = build_data_loader("train", cfg, triplets=True,
+                                  drop_last=False)
+    shapes = set()
+    sizes = []
+    for batch in loader:
+        shapes.add(batch["anchor"].shape)
+        sizes.append(batch["__size__"])
+        assert batch["anchor"].shape[0] == 4  # padded to static batch
+        assert batch["__valid__"].sum() == batch["__size__"]
+    assert len(shapes) == 1
+    assert sorted(sizes) == [1, 4, 4]

@@ -63,23 +63,24 @@ def test_loader_yields_batches(cfg):
 
 
 def test_train_steps_and_loss(cfg):
+    """Overfit one fixed batch: the triplet loss must actually decrease."""
     loader, _ = build_data_loader("train", cfg, triplets=True)
     model = model_selector(cfg)
     sample = jnp.zeros((2, 4, 16, 16, 3))
     state = create_train_state(jax.random.key(0), model, cfg, sample)
     step_fn = make_triplet_train_step(cfg)
 
-    losses = []
+    batch = next(iter(loader))
     key = jax.random.key(7)
-    for epoch in range(2):
-        loader.set_epoch(epoch)
-        for i, batch in enumerate(loader):
-            k = jax.random.fold_in(key, epoch * 100 + i)
-            dev = _device_batch(batch, cfg, k, train=True)
-            state, metrics = step_fn(state, dev, k)
-            losses.append(float(metrics["loss"]))
+    dev = _device_batch(batch, cfg, key, train=True)  # fixed augmented batch
+    losses = []
+    for i in range(10):
+        state, metrics = step_fn(state, dev, jax.random.fold_in(key, i))
+        losses.append(float(metrics["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert int(state.step) == len(losses)
+    # overfitting a single batch must drive the mined-triplet loss down
+    assert np.mean(losses[-3:]) < losses[0]
 
 
 def test_validation_negative_loader(cfg):

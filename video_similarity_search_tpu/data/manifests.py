@@ -168,31 +168,56 @@ def load_kinetics_manifest(
         path = cand
     cluster_labels = read_cluster_labels(cluster_path)
 
-    samples: List[dict] = []
+    def rows(p):
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                parts = line.split(",") if "," in line else line.split()
+                if len(parts) >= 3:
+                    yield parts[0], int(parts[1]), parts[2]
+
+    # One class list SHARED across splits so train/val agree on label ids
+    # (the reference derives labels from a shared annotation,
+    # datasets/kinetics.py:98-135; round-1 assigned ids in per-split-file
+    # encounter order — unstable when category order differs between
+    # splits). Priority: classes.txt next to the listing, else the sorted
+    # union of labels over every split file in the directory, else the
+    # sorted labels of this file.
     classes: Dict[str, int] = {}
+    ann_dir = annotation_path if os.path.isdir(annotation_path) \
+        else os.path.dirname(path)
+    classes_file = os.path.join(ann_dir, "classes.txt") if ann_dir else ""
+    if classes_file and os.path.exists(classes_file):
+        with open(classes_file) as f:
+            classes = {c.strip(): i
+                       for i, c in enumerate(f) if c.strip()}
+    else:
+        label_set = set()
+        split_files = [os.path.join(ann_dir, fn)
+                       for fn in sorted(os.listdir(ann_dir))
+                       if fn.endswith((".csv", ".txt"))] \
+            if ann_dir and os.path.isdir(ann_dir) else [path]
+        for sf in split_files or [path]:
+            for _, _, label in rows(sf):
+                label_set.add(label)
+        classes = {c: i for i, c in enumerate(sorted(label_set))}
+
+    samples: List[dict] = []
     skipped = 0
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            parts = line.split(",") if "," in line else line.split()
-            if len(parts) < 3:
-                continue
-            rel, n_frames, label = parts[0], int(parts[1]), parts[2]
-            if label not in classes:
-                classes[label] = len(classes)
-            if n_frames < 2 * sample_duration or n_frames <= 0:
-                skipped += 1
-                continue
-            sample = {
-                "video": os.path.join(root_path, rel),
-                "num_frames": n_frames,
-                "label": classes[label],
-            }
-            if cluster_labels is not None:
-                sample["cluster_label"] = int(cluster_labels[len(samples)])
-            samples.append(sample)
+    for rel, n_frames, label in rows(path):
+        if n_frames < 2 * sample_duration or n_frames <= 0:
+            skipped += 1
+            continue
+        sample = {
+            "video": os.path.join(root_path, rel),
+            "num_frames": n_frames,
+            "label": classes.get(label, -1),
+        }
+        if cluster_labels is not None:
+            sample["cluster_label"] = int(cluster_labels[len(samples)])
+        samples.append(sample)
     idx_to_class = {i: c for c, i in classes.items()}
     if verbose:
         print(f"kinetics manifest[{split}]: {len(samples)} videos "

@@ -8,10 +8,15 @@ torch DataLoader with DistributedSampler. Here:
     assembles batches ahead of consumption (``TPU.PREFETCH_DEPTH``);
   * per-host sharding replaces DistributedSampler: each process iterates
     its contiguous slice of the (epoch-reshuffled) index permutation;
-  * ragged final batches are padded with a validity mask instead of the
-    reference's drop_last workaround for its all_gather bug
-    (datasets/data_loader.py:317-322; SURVEY §7.4) — train triplet loaders
-    still drop_last like the reference so batch shapes stay static;
+  * ragged final batches are PADDED to the static batch size (repeating
+    the last item) with ``__size__`` = real item count and ``__valid__`` a
+    boolean item mask, instead of the reference's drop_last workaround for
+    its all_gather bug (datasets/data_loader.py:317-322; SURVEY §7.4).
+    Every batch of an epoch therefore has the same shape: one jit trace,
+    no retraces on the ragged tail. Consumers slice ``[:__size__]`` (or
+    clip-level ``sum(window_counts[:__size__])`` for flattened multi-window
+    batches) on host. Train triplet loaders still drop_last like the
+    reference;
   * per-GPU batch = BATCH_SIZE / world and 6x for non-triplet eval loaders
     (reference :300-313) is preserved as global BATCH_SIZE (and 6x eval).
 """
@@ -140,10 +145,15 @@ class PrefetchLoader:
                     if stop.is_set():
                         break
                     items = list(pool.map(self.dataset.__getitem__, bidx))
+                    real = len(items)
+                    if real < self.batch_size:
+                        # pad+mask the ragged tail to the static batch size
+                        items = items + [items[-1]] * (self.batch_size - real)
                     batch = self.collate(items)
                     if batch is not None:
-                        batch["__valid__"] = np.arange(len(bidx))
-                        batch["__size__"] = len(bidx)
+                        batch["__valid__"] = (np.arange(self.batch_size)
+                                              < real)
+                        batch["__size__"] = real
                     out_q.put(batch)
             finally:
                 out_q.put(None)
@@ -214,7 +224,9 @@ def build_data_loader(split: str, cfg, is_master_proc: bool = True,
                       drop_last: Optional[bool] = None,
                       batch_size: Optional[int] = None,
                       val_sample: Optional[int] = 1,
-                      shard_index: int = 0, num_shards: int = 1):
+                      shard_index: int = 0, num_shards: int = 1,
+                      buffer_size: Optional[int] = None,
+                      test_windows: bool = True):
     """Same role/signature as reference build_data_loader
     (datasets/data_loader.py:205-342). Returns (loader, (dataset, None))."""
     dataset_name = cfg.TRAIN.DATASET
@@ -243,9 +255,13 @@ def build_data_loader(split: str, cfg, is_master_proc: bool = True,
 
     sample_size = cfg.DATA.SAMPLE_SIZE
     train_aug = split == "train" and triplets
+    # ``buffer_size`` override: ten-crop testing needs a decode buffer
+    # larger than the crop so the five crop positions differ (reference
+    # scales to 1.14x then crops, coclr_classify.py:528-534)
     reader = ClipReader(
         channel_ext,
-        buffer_size=2 * sample_size if train_aug else sample_size,
+        buffer_size=buffer_size or (2 * sample_size if train_aug
+                                    else sample_size),
         eval_mode=not train_aug,
         prob_pos_channel_replace=cfg.DATASET.PROB_POS_CHANNEL_REPLACE,
     )
@@ -276,12 +292,15 @@ def build_data_loader(split: str, cfg, is_master_proc: bool = True,
         # instead of the reference's drop_last bug workaround, SURVEY §7.4)
         dl = drop_last if drop_last is not None else (split == "train")
     else:
+        # test_windows=False: --crop center, one center clip per test video
+        # instead of averaged sliding windows (reference evaluate.py:89-143)
+        ds_split = split if (split != "test" or test_windows) else "val"
         dataset = VideoDataset(
             samples,
             temporal_transform=build_temporal_transforms(cfg, False),
             reader=reader,
             target_type=target_type,
-            split=split,
+            split=ds_split,
         )
         collate = collate_videos
         # 6x eval batch (reference datasets/data_loader.py:300-313)

@@ -22,12 +22,16 @@ from ..data.augment import normalize_only
 from ..train.steps import make_embed_step
 
 
-def _pad_to(arr: np.ndarray, n: int) -> Tuple[np.ndarray, int]:
-    if arr.shape[0] == n:
-        return arr, arr.shape[0]
-    pad = n - arr.shape[0]
-    return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)]), \
-        arr.shape[0]
+def _pad_clips(arr: np.ndarray, quantum: int) -> Tuple[np.ndarray, int]:
+    """Pad the leading (clip) axis up to a multiple of ``quantum`` so the
+    jitted embed step sees a bounded set of static shapes (multi-window
+    test batches flatten a variable number of windows per batch; the
+    item-level loader padding cannot make that static)."""
+    n = arr.shape[0]
+    target = max(quantum, -(-n // quantum) * quantum)
+    if n == target:
+        return arr, n
+    return np.concatenate([arr, np.repeat(arr[-1:], target - n, axis=0)]), n
 
 
 def get_embeddings_and_labels(state, model, cfg, loader, *,
@@ -37,36 +41,39 @@ def get_embeddings_and_labels(state, model, cfg, loader, *,
     """-> (embeddings (N, D) np, labels (N,), indices (N,)).
 
     For 'test' splits each video contributes the mean of its window
-    embeddings (reference evaluate.py:120-130).
+    embeddings (reference evaluate.py:120-130). Ragged batches arrive
+    padded by the loader (``__size__`` = real item count); padded rows are
+    dropped here on host.
     """
     embed = make_embed_step(cfg, model)
     dataset = cfg.TRAIN.DATASET
     all_emb, all_labels, all_idx = [], [], []
     start = time.time()
-    fixed = None
+    quantum = batch_pad
     for batch in loader:
         clips = batch["clip"]
-        clips, valid = (clips, clips.shape[0])
-        if fixed is None:
-            fixed = clips.shape[0]
-        clips, valid = _pad_to(clips, fixed) if clips.shape[0] < fixed \
-            else (clips, clips.shape[0])
+        n_items = int(batch.get("__size__", len(batch["window_counts"])))
+        counts = batch["window_counts"]
+        n_clips = int(np.sum(counts[:n_items]))
+        if quantum is None:
+            quantum = clips.shape[0]  # first batch is full: its clip count
+        clips, _ = _pad_clips(clips, quantum)
         x = normalize_only(jnp.asarray(clips), dataset=dataset)
-        emb = np.asarray(embed(state.params, state.batch_stats, x))[:valid]
+        emb = np.asarray(embed(state.params, state.batch_stats, x))[:n_clips]
 
         # collapse windows back to one embedding per video
-        counts = batch["window_counts"]
-        if np.any(counts > 1):
+        if np.any(counts[:n_items] > 1):
             off = 0
-            for cnt in counts:
+            for i in range(n_items):
+                cnt = counts[i]
                 all_emb.append(emb[off:off + cnt].mean(0))
                 all_labels.append(batch["target"][off])
                 all_idx.append(batch["index"][off])
                 off += cnt
         else:
             all_emb.extend(emb)
-            all_labels.extend(batch["target"][:valid])
-            all_idx.extend(batch["index"][:valid])
+            all_labels.extend(batch["target"][:n_clips])
+            all_idx.extend(batch["index"][:n_clips])
     if verbose:
         print(f"embedded {len(all_emb)} videos [{split}] "
               f"in {time.time() - start:.1f}s")

@@ -40,10 +40,11 @@ def make_validate_step(cfg, model):
         e_a, e_p, e_n = out[:b], out[b:2 * b], out[2 * b:]
         dist_a = pairwise_dist(e_a, e_p, metric)
         dist_b = pairwise_dist(e_a, e_n, metric)
-        # margin-ranking val loss (reference online_train.py:535)
-        loss = jnp.mean(jax.nn.relu(dist_a - dist_b + margin))
-        correct = jnp.sum(dist_b > dist_a + margin)
-        return loss, correct, e_a.astype(jnp.float32)
+        # per-sample values: the host slices off loader-padded tail rows,
+        # keeping this step's traced shape static across ragged batches
+        losses = jax.nn.relu(dist_a - dist_b + margin)
+        correct = dist_b > dist_a + margin
+        return losses, correct, e_a.astype(jnp.float32)
 
     return step
 
@@ -64,13 +65,13 @@ def validate(state, model, cfg, val_loader, epoch: int = 0,
                                   dataset=dataset)
         negative = normalize_only(jnp.asarray(batch["negative"]),
                                   dataset=dataset)
-        loss, correct, e_a = step(state.params, state.batch_stats, anchor,
-                                  positive, negative)
-        b = anchor.shape[0]
-        losses.update(float(loss), b)
-        n_correct += int(correct)
+        per_loss, per_correct, e_a = step(state.params, state.batch_stats,
+                                          anchor, positive, negative)
+        b = int(batch.get("__size__", anchor.shape[0]))  # real (unpadded)
+        losses.update(float(jnp.mean(per_loss[:b])), b)
+        n_correct += int(jnp.sum(per_correct[:b]))
         n_total += b
-        embs.append(np.asarray(e_a))
+        embs.append(np.asarray(e_a)[:b])
         labels.append(np.asarray(batch["targets"][:b]))
 
     acc = n_correct / max(n_total, 1)

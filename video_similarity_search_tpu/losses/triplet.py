@@ -17,8 +17,12 @@ masked argmin. Strategy names and loss formulas match the reference:
     ``adapted_hard`` + ``hardest_easy`` fallback — margin loss (ref :205-426).
     ``adapted_hard`` as written never returns (ref :406-420) and for <1000
     negatives even its intended body falls through, so it degenerates to
-    ``hardest_easy``; we implement the intended top-5% band for >=1000
-    negatives and the degenerate fallback below that.
+    ``hardest_easy``. We implement the intended top-5% band for >=1000
+    candidates and the degenerate fallback below. NOTE: the candidate count
+    here is the batch dimension, which is <=2*BATCH_SIZE (~64-208) for
+    every shipped config — so in practice ``adapted_hard`` always takes the
+    hardest_easy fallback, exactly like the reference; the band only
+    engages for batch sizes >=1000.
 """
 
 from __future__ import annotations

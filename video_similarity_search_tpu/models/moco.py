@@ -52,10 +52,15 @@ class MoCoEncoder(nn.Module):
 
 
 class MoCoState(struct.PyTreeNode):
-    """Explicit MoCo state (reference buffers at models/infoNCE.py:78-83)."""
+    """Explicit MoCo state (reference buffers at models/infoNCE.py:78-83).
+
+    The key ("momentum") encoder's BN running stats are NOT stored here:
+    they would alias the query encoder's ``batch_stats`` pytree inside one
+    donated TrainState (double-donation is an XLA error). The key forward
+    uses the query stats — the same statistics the reference's SyncBN'd
+    encoder_k effectively tracks."""
 
     key_params: Any
-    key_batch_stats: Any
     queue: jnp.ndarray  # (K, dim), L2-normalized rows
     queue_ptr: jnp.ndarray  # () int32
     queue_labels: Optional[jnp.ndarray] = None  # (K,) int32, UberNCE only
@@ -66,9 +71,10 @@ def init_moco_state(params, batch_stats, rng, dim: int, K: int,
     queue = jax.random.normal(rng, (K, dim), dtype=jnp.float32)
     queue = queue / jnp.linalg.norm(queue, axis=1, keepdims=True)
     labels = -jnp.ones((K,), jnp.int32) if with_labels else None
+    del batch_stats  # see MoCoState docstring
     return MoCoState(
-        key_params=jax.tree.map(jnp.asarray, params),
-        key_batch_stats=jax.tree.map(jnp.asarray, batch_stats),
+        # deep copy: key params must not alias the donated query params
+        key_params=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
         queue=queue,
         queue_ptr=jnp.zeros((), jnp.int32),
         queue_labels=labels,
@@ -132,7 +138,9 @@ def infonce_forward(encoder: MoCoEncoder, query_vars, state: MoCoState,
         new_bs = query_vars.get("batch_stats")
     q = _l2norm(q.astype(jnp.float32))
 
-    key_vars = {"params": state.key_params, "batch_stats": state.key_batch_stats}
+    key_vars = {"params": state.key_params,
+                "batch_stats": new_bs if train
+                else query_vars.get("batch_stats", {})}
     k = encoder.apply(key_vars, x2, train=False)
     k = jax.lax.stop_gradient(_l2norm(k.astype(jnp.float32)))
 

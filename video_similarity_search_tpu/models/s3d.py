@@ -160,6 +160,9 @@ class S3D(nn.Module):
                          name="Mixed_4f", **args)(h, train)
         # block5
         h = nn.max_pool(h, (2, 2, 2), strides=(2, 2, 2), padding=[(0, 0)] * 3)
+        assert all(d > 0 for d in h.shape), (
+            f"S3D input {x.shape} too small: a dimension collapsed to 0 "
+            "after the block5 pool (need T>=8 and H,W>=32)")
         h = SepInception([256, 160, 320, 32, 128, 128], self.gating,
                          name="Mixed_5b", **args)(h, train)
         h = SepInception([384, 192, 384, 48, 128, 128], self.gating,

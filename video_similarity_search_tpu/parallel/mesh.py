@@ -50,8 +50,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device_put a host batch with the leading axis sharded over the mesh."""
+    """Host batch -> leading axis sharded over the mesh.
+
+    Single-host: plain device_put with a NamedSharding. Multi-host: each
+    process holds its local shard of the global batch (the per-host slice
+    the sharded loader produced), assembled into one global array — the
+    TPU-native replacement for DistributedSampler + per-rank batches
+    (reference datasets/data_loader.py:283)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

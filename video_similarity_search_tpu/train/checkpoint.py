@@ -219,6 +219,345 @@ def torch_resnet3d_to_flax(sd: Dict[str, np.ndarray],
     return params, stats
 
 
+def _conv_t(v):  # torch Conv3d (Cout, Cin, kT, kH, kW) -> flax (kT,kH,kW,Cin,Cout)
+    return np.transpose(v, (2, 3, 4, 1, 0))
+
+
+def _dense_t(v):  # torch Linear (out, in) -> flax (in, out)
+    return np.transpose(v, (1, 0))
+
+
+def _conv1x1_to_dense(v):  # torch Conv3d (Cout, Cin, 1,1,1) -> Dense (in, out)
+    return np.transpose(v.reshape(v.shape[0], v.shape[1]), (1, 0))
+
+
+# S3D: torch attribute names registered both directly (Conv_1a, Mixed_3b, ...)
+# and through the block Sequentials (block1.0, block3.1, ...) — the
+# state_dict contains both aliases of the same tensors
+# (reference models/s3d/s3dg.py:143-197). Canonicalize to the direct names.
+_S3D_BLOCK_ALIASES = {
+    "block1.0": "Conv_1a", "block2.1": "Conv_2b", "block2.2": "Conv_2c",
+    "block3.1": "Mixed_3b", "block3.2": "Mixed_3c",
+    "block4.1": "Mixed_4b", "block4.2": "Mixed_4c", "block4.3": "Mixed_4d",
+    "block4.4": "Mixed_4e", "block4.5": "Mixed_4f",
+    "block5.1": "Mixed_5b", "block5.2": "Mixed_5c",
+}
+
+# Sequential index -> flax submodule name inside SepInception
+_S3D_BRANCH = {"branch0.0": "branch0_0", "branch1.0": "branch1_0",
+               "branch1.1": "branch1_1", "branch2.0": "branch2_0",
+               "branch2.1": "branch2_1", "branch3.1": "branch3_1"}
+
+
+def _put_bn_leaf(params, stats, path, sd, torch_prefix):
+    _set_nested(params, path + ("scale",), sd[torch_prefix + ".weight"])
+    _set_nested(params, path + ("bias",), sd[torch_prefix + ".bias"])
+    _set_nested(stats, path + ("mean",), sd[torch_prefix + ".running_mean"])
+    _set_nested(stats, path + ("var",), sd[torch_prefix + ".running_var"])
+
+
+def torch_s3d_backbone_to_flax(sd: Dict[str, np.ndarray],
+                               prefix: str = "") -> Tuple[dict, dict]:
+    """Map a torch S3D(-G) state_dict subtree (reference models/s3d/s3dg.py)
+    to the flax :class:`~video_similarity_search_tpu.models.s3d.S3D` pytree.
+
+    ``prefix`` selects the subtree (e.g. ``"backbone."`` for
+    LinearClassifier / MoCo-remapped checkpoints, ``"0."`` for the
+    model_selector Sequential, models/model_utils.py:76-85).
+    """
+    params: dict = {}
+    stats: dict = {}
+    canon: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if prefix and not k.startswith(prefix):
+            continue
+        k = k[len(prefix):]
+        for alias, name in _S3D_BLOCK_ALIASES.items():
+            if k.startswith(alias + "."):
+                k = name + k[len(alias):]
+                break
+        canon[k] = v
+
+    for k, v in canon.items():
+        parts = k.split(".")
+        mod = parts[0]
+        if mod.startswith("Mixed_"):
+            branch = ".".join(parts[1:3])
+            if branch in _S3D_BRANCH:
+                inner = (mod, _S3D_BRANCH[branch])
+                leaf = parts[3]  # conv / bn / conv1 / bn1 / conv2 / bn2
+                field = parts[4]
+            elif parts[1].startswith("gating_b"):
+                inner = (mod, parts[1])
+                leaf, field = parts[2], parts[3]  # fc.weight / fc.bias
+            else:
+                continue
+        else:  # Conv_1a / Conv_2b / Conv_2c
+            inner = (mod,)
+            leaf, field = parts[1], parts[2]
+
+        if leaf.startswith("conv"):
+            if field == "weight":
+                _set_nested(params, inner + (leaf, "Conv_0", "kernel"),
+                            _conv_t(v))
+        elif leaf.startswith("bn"):
+            if field == "weight":
+                torch_prefix = k[: k.rfind(".")]
+                _put_bn_leaf(params, stats, inner + (leaf, "BatchNorm_0"),
+                             canon, torch_prefix)
+        elif leaf == "fc":
+            if field == "weight":
+                _set_nested(params, inner + ("fc", "kernel"), _dense_t(v))
+            else:
+                _set_nested(params, inner + ("fc", "bias"), v)
+    return params, stats
+
+
+def torch_s3d_to_flax(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
+    """Torch 's3d' arch Sequential(backbone, pool, conv1x1, relu, conv1x1,
+    flatten) (reference models/model_utils.py:76-85) -> S3DEmbedder pytrees.
+
+    Also accepts ``backbone.``-prefixed dicts (MoCo ``encoder_q.0.`` remap,
+    coclr_classify.py:244-249)."""
+    prefix = "0." if any(k.startswith("0.") for k in sd) else (
+        "backbone." if any(k.startswith("backbone.") for k in sd) else "")
+    bb_params, bb_stats = torch_s3d_backbone_to_flax(sd, prefix)
+    params = {"backbone": bb_params}
+    stats = {"backbone": bb_stats} if bb_stats else {}
+    for torch_key, flax_name in (("2", "proj1"), ("4", "proj2")):
+        wk = f"{torch_key}.weight"
+        if wk in sd:
+            _set_nested(params, (flax_name, "kernel"),
+                        _conv1x1_to_dense(sd[wk]))
+            _set_nested(params, (flax_name, "bias"),
+                        sd[f"{torch_key}.bias"].reshape(-1))
+    return params, stats
+
+
+def torch_moco_encoder_to_flax(sd: Dict[str, np.ndarray],
+                               encoder: str = "q") -> Tuple[dict, dict]:
+    """InfoNCE/UberNCE encoder (reference models/infoNCE.py:59-72) ->
+    MoCoEncoder pytrees. ``encoder_q.0.`` arrives pre-remapped to
+    ``backbone.`` by :func:`load_torch_checkpoint`; the 1x1x1 projection
+    convs sit at ``encoder_q.2`` / ``encoder_q.4``."""
+    if encoder == "q":
+        bb_prefix = "backbone." if any(k.startswith("backbone.")
+                                       for k in sd) else "encoder_q.0."
+        proj_prefix = "encoder_q."
+    else:
+        bb_prefix, proj_prefix = "encoder_k.0.", "encoder_k."
+    bb_params, bb_stats = torch_s3d_backbone_to_flax(sd, bb_prefix)
+    params = {"backbone": bb_params}
+    stats = {"backbone": bb_stats} if bb_stats else {}
+    for idx, flax_name in ((2, "proj_conv1"), (4, "proj_conv2")):
+        wk = f"{proj_prefix}{idx}.weight"
+        if wk in sd:
+            _set_nested(params, (flax_name, "kernel"),
+                        _conv1x1_to_dense(sd[wk]))
+            _set_nested(params, (flax_name, "bias"),
+                        sd[f"{proj_prefix}{idx}.bias"].reshape(-1))
+    return params, stats
+
+
+def torch_linear_classifier_to_flax(sd: Dict[str, np.ndarray]
+                                    ) -> Tuple[dict, dict]:
+    """CoCLR LinearClassifier (reference iic_datasets/CoCLR_model.py:32-90)
+    -> flax LinearClassifier pytrees: S3D backbone + optional final_bn +
+    final_fc (Sequential([Dropout,] Linear))."""
+    bb_params, bb_stats = torch_s3d_backbone_to_flax(sd, "backbone.")
+    params = {"backbone": bb_params}
+    stats = {"backbone": bb_stats} if bb_stats else {}
+    if "final_bn.weight" in sd:
+        _put_bn_leaf(params, stats, ("final_bn", "BatchNorm_0"), sd,
+                     "final_bn")
+    for fk in ("final_fc.0.weight", "final_fc.1.weight"):
+        if fk in sd:
+            _set_nested(params, ("final_fc", "kernel"), _dense_t(sd[fk]))
+            _set_nested(params, ("final_fc", "bias"),
+                        sd[fk.replace("weight", "bias")])
+    return params, stats
+
+
+def torch_r3d_backbone_to_flax(sd: Dict[str, np.ndarray],
+                               prefix: str = "") -> Tuple[dict, dict]:
+    """Torch R3DNet (reference models/r3d/r3d.py:126-187) -> flax R3DNet.
+
+    Torch layers: conv1 stem; conv{2..5} = SpatioTemporalResLayer with
+    ``block1`` then ``blocks.{i}``; convs wrapped in SpatioTemporalConv
+    (``.temporal_spatial_conv``)."""
+    params: dict = {}
+    stats: dict = {}
+
+    def get(k):
+        return sd[prefix + k]
+
+    def has(k):
+        return (prefix + k) in sd
+
+    _set_nested(params, ("conv1", "Conv_0", "kernel"),
+                _conv_t(get("conv1.temporal_spatial_conv.weight")))
+    _put_bn_leaf(params, stats, ("bn1", "BatchNorm_0"),
+                 {k[len(prefix):]: v for k, v in sd.items()
+                  if k.startswith(prefix)}, "bn1")
+
+    for stage in range(2, 6):
+        blocks = [f"conv{stage}.block1"]
+        i = 0
+        while has(f"conv{stage}.blocks.{i}.conv1.temporal_spatial_conv.weight"):
+            blocks.append(f"conv{stage}.blocks.{i}")
+            i += 1
+        for b, tprefix in enumerate(blocks):
+            fmod = f"conv{stage}_block{b}"
+            for leaf in ("conv1", "conv2", "downsampleconv"):
+                k = f"{tprefix}.{leaf}.temporal_spatial_conv.weight"
+                if has(k):
+                    _set_nested(params, (fmod, leaf, "Conv_0", "kernel"),
+                                _conv_t(get(k)))
+            for leaf in ("bn1", "bn2", "downsamplebn"):
+                if has(f"{tprefix}.{leaf}.weight"):
+                    _put_bn_leaf(params, stats, (fmod, leaf, "BatchNorm_0"),
+                                 {k[len(prefix):]: v for k, v in sd.items()
+                                  if k.startswith(prefix)},
+                                 f"{tprefix}.{leaf}")
+    if has("linear.weight"):
+        _set_nested(params, ("linear", "kernel"), _dense_t(get("linear.weight")))
+        _set_nested(params, ("linear", "bias"), get("linear.bias"))
+    return params, stats
+
+
+def torch_r3d_to_flax(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
+    """Torch 'r3d' arch Sequential(backbone, Linear, ReLU, Linear)
+    (reference models/model_utils.py:87-95) -> R3DEmbedder pytrees."""
+    prefix = "0." if any(k.startswith("0.") for k in sd) else (
+        "backbone." if any(k.startswith("backbone.") for k in sd) else "")
+    bb_params, bb_stats = torch_r3d_backbone_to_flax(sd, prefix)
+    params = {"backbone": bb_params}
+    stats = {"backbone": bb_stats} if bb_stats else {}
+    for torch_key, flax_name in (("1", "proj1"), ("3", "proj2")):
+        wk = f"{torch_key}.weight"
+        if wk in sd:
+            _set_nested(params, (flax_name, "kernel"), _dense_t(sd[wk]))
+            _set_nested(params, (flax_name, "bias"), sd[f"{torch_key}.bias"])
+    return params, stats
+
+
+# SlowFast: flax submodule nesting per conv/bn leaf. BottleneckTransform
+# wraps a/c in Conv3d (-> Conv_0) but b is a bare nn.Conv; c_bn and the
+# Nonlocal bn are bare nn.BatchNorm (models/slowfast.py:146-222).
+_SF_CONV_WRAPPED = {"a": True, "b": False, "c": True}
+_SF_BN_WRAPPED = {"a_bn": True, "b_bn": True, "c_bn": False}
+
+
+def torch_slowfast_to_flax(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
+    """Torch pyslowfast SlowFastRepresentation state_dict
+    (reference video_model_builder.py:598-885) -> flax SlowFast pytrees.
+
+    Torch naming: ``s{n}.pathway{p}_stem.conv``, ``s{n}_fuse.conv_f2s``,
+    ``s{n}.pathway{p}_res{i}.branch1/branch2.{a,b,c}``, ``fc1``/``fc2``
+    projection, ``head.projection`` classifier."""
+    params: dict = {}
+    stats: dict = {}
+
+    def put_bn(path, torch_prefix, wrapped=True):
+        full = path + (("BatchNorm_0",) if wrapped else ())
+        _put_bn_leaf(params, stats, full, sd, torch_prefix)
+
+    for k, v in sd.items():
+        m = re.match(r"^s(\d)\.pathway(\d)_stem\.(conv|bn)\.(\w+)$", k)
+        if m:
+            n, p, leaf, field = m.groups()
+            base = (f"s{n}_pathway{p}_stem",)
+            if leaf == "conv" and field == "weight":
+                _set_nested(params, base + ("conv", "Conv_0", "kernel"),
+                            _conv_t(v))
+            elif leaf == "bn" and field == "weight":
+                put_bn(base + ("bn",), f"s{n}.pathway{p}_stem.bn")
+            continue
+        m = re.match(r"^s(\d)_fuse\.(conv_f2s|bn)\.(\w+)$", k)
+        if m:
+            n, leaf, field = m.groups()
+            base = (f"s{n}_fuse",)
+            if leaf == "conv_f2s" and field == "weight":
+                _set_nested(params, base + ("conv_f2s", "Conv_0", "kernel"),
+                            _conv_t(v))
+            elif leaf == "bn" and field == "weight":
+                put_bn(base + ("bn",), f"s{n}_fuse.bn")
+            continue
+        m = re.match(r"^s(\d)\.pathway(\d)_res(\d+)\.(.+)$", k)
+        if m:
+            n, p, i, rest = m.groups()
+            base = (f"s{n}_pathway{p}", f"res{i}")
+            tbase = f"s{n}.pathway{p}_res{i}"
+            if rest == "branch1.weight":
+                _set_nested(params, base + ("branch1", "Conv_0", "kernel"),
+                            _conv_t(v))
+            elif rest == "branch1_bn.weight":
+                put_bn(base + ("branch1_bn",), f"{tbase}.branch1_bn")
+            else:
+                # BasicTransform (depth 18) has no 'c' conv and wraps both
+                # a and b in Conv3d; BottleneckTransform's 'b' is a bare
+                # nn.Conv and its c_bn a bare nn.BatchNorm
+                bottleneck = f"{tbase}.branch2.c.weight" in sd
+                m2 = re.match(r"^branch2\.(a|b|c)\.weight$", rest)
+                if m2:
+                    leaf = m2.group(1)
+                    path = base + ("branch2", leaf)
+                    if _SF_CONV_WRAPPED[leaf] or (leaf == "b"
+                                                  and not bottleneck):
+                        path = path + ("Conv_0",)
+                    _set_nested(params, path + ("kernel",), _conv_t(v))
+                m2 = re.match(r"^branch2\.(a_bn|b_bn|c_bn)\.weight$", rest)
+                if m2:
+                    leaf = m2.group(1)
+                    put_bn(base + ("branch2", leaf),
+                           f"{tbase}.branch2.{leaf}",
+                           wrapped=_SF_BN_WRAPPED[leaf])
+            continue
+        m = re.match(r"^(fc1|fc2)\.(weight|bias)$", k)
+        if m:
+            name, field = m.groups()
+            _set_nested(params, (name, "kernel" if field == "weight"
+                                 else "bias"),
+                        _dense_t(v) if field == "weight" else v)
+            continue
+        m = re.match(r"^head\.projection\.(weight|bias)$", k)
+        if m:
+            field = m.group(1)
+            _set_nested(params, ("head_projection",
+                                 "kernel" if field == "weight" else "bias"),
+                        _dense_t(v) if field == "weight" else v)
+    return params, stats
+
+
+_ARCH_CONVERTERS = {
+    "3dresnet": None,  # torch_resnet3d_to_flax (special: skip_heads arg)
+    "s3d": "torch_s3d_to_flax",
+    "r3d": "torch_r3d_to_flax",
+    "slowfast": "torch_slowfast_to_flax",
+    "info_nce": "torch_moco_encoder_to_flax",
+    "uber_nce": "torch_moco_encoder_to_flax",
+}
+
+
+def torch_to_flax(sd: Dict[str, np.ndarray], arch: str,
+                  skip_heads: bool = False) -> Tuple[dict, dict]:
+    """Arch-dispatching torch state_dict converter (checkpoint-fidelity
+    surface: same ckpt -> same retrieval ranks, BASELINE.json)."""
+    if arch == "3dresnet":
+        return torch_resnet3d_to_flax(sd, skip_heads=skip_heads)
+    if arch in ("s3d", "s3dg"):
+        if any(k.startswith("final_fc.") for k in sd):
+            return torch_linear_classifier_to_flax(sd)
+        return torch_s3d_to_flax(sd)
+    if arch == "r3d":
+        return torch_r3d_to_flax(sd)
+    if arch == "slowfast":
+        return torch_slowfast_to_flax(sd)
+    if arch in ("info_nce", "uber_nce"):
+        return torch_moco_encoder_to_flax(sd)
+    raise ValueError(f"no torch converter for arch {arch!r}")
+
+
 def merge_pretrained(init_params, init_stats, loaded_params, loaded_stats,
                      verbose: bool = True) -> Tuple[Any, Any]:
     """'neq' partial load: take loaded values where the path+shape matches,

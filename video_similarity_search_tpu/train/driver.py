@@ -1,5 +1,5 @@
 """Self-supervised pretrain driver: the reference ``online_train.train``
-(online_train.py:441-776) re-shaped around jitted steps.
+(online_train.py:441-776) re-shaped around jitted steps on a device mesh.
 
 Per epoch:
   * every ITERCLUSTER.INTERVAL epochs after WARMUP_EPOCHS: embed the whole
@@ -7,9 +7,17 @@ Per epoch:
     device), log NMI/AMI vs true labels, optionally adapt the positive
     sampling p to 1 - NMI, write ``vid_clusters.txt``, rebuild the triplet
     loader's pseudo-label tables (reference online_train.py:599-667);
-  * run the triplet/contrastive/UberNCE epoch (one jitted step per batch,
-    device augmentation fused);
-  * validate (triplet acc + top1/5 retrieval) and checkpoint.
+  * run the triplet / contrastive(NCE) / UberNCE epoch per ``LOSS.TYPE``
+    (reference dispatch online_train.py:675-720) — one jitted step per
+    batch, device augmentation fused, batch sharded over the 1-D data
+    mesh (params replicated; grad sync + cross-replica BN are implicit
+    XLA collectives — the reference's DDP + SyncBatchNorm);
+  * validate (triplet acc + top1/5 retrieval) and checkpoint; every 10
+    epochs a full train-bank/val-query retrieval eval drives ``is_best``
+    (reference online_train.py:736-746);
+  * ``--vector`` preemptible mode: best/periodic checkpoints to
+    OUTPUT_PATH plus an every-epoch checkpoint to the cluster-stable
+    ``args.checkpoint_path`` (reference online_train.py:756-776).
 
 The reference's ``torch.distributed.barrier()`` after the master writes the
 cluster file (online_train.py:661-662) is unnecessary here: clustering is
@@ -31,38 +39,48 @@ from ..cluster import fit_cluster
 from ..data import build_data_loader, train_augment, write_cluster_labels
 from ..data.augment import normalize_only
 from ..evaluation import get_embeddings_and_labels, topk_retrieval_acc, validate
-from ..parallel import is_master_proc
+from ..evaluation.knn import k_nearest_embeddings
+from ..parallel import is_master_proc, make_mesh, replicate, shard_batch
 from ..utils.meters import AverageMeter, append_metric_line
 from .state import create_train_state
-from .steps import make_triplet_train_step
+from .steps import (diff_view, make_contrastive_train_step,
+                    make_moco_train_step, make_triplet_train_step)
 
 
-def _device_batch(batch, cfg, key, train: bool):
+def _shard_host_batch(mesh, batch, keys):
+    """Shard the named uint8/int arrays of a host batch over the data mesh
+    (leading axis split; the reference's DistributedSampler+DDP input path,
+    misc/distributed_helper.py + datasets/data_loader.py:283)."""
+    if mesh is None:
+        return {k: jnp.asarray(batch[k]) for k in keys if k in batch}
+    return shard_batch(mesh, {k: np.asarray(batch[k])
+                              for k in keys if k in batch})
+
+
+def _device_batch(batch, cfg, key, train: bool, mesh=None):
     """uint8 host batch -> normalized device batch (fused augmentation)."""
     dataset = cfg.TRAIN.DATASET
+    clip_names = [k for k in ("anchor", "positive", "extra", "negative")
+                  if k in batch]
+    sharded = _shard_host_batch(mesh, batch,
+                                clip_names + ["targets", "index"])
     out = {}
-    n_clips = sum(1 for k in ("anchor", "positive", "extra", "negative")
-                  if k in batch)
-    keys = jax.random.split(key, max(n_clips, 1))
-    i = 0
-    for name in ("anchor", "positive", "extra", "negative"):
-        if name in batch:
-            clips = jnp.asarray(batch[name])
-            if train:
-                out[name] = train_augment(clips, keys[i],
-                                          cfg.DATA.SAMPLE_SIZE,
-                                          dataset=dataset)
-            else:
-                out[name] = normalize_only(clips, dataset=dataset)
-            i += 1
-    out["targets"] = jnp.asarray(batch["targets"])
-    if "index" in batch:
-        out["index"] = jnp.asarray(batch["index"])
+    keys = jax.random.split(key, max(len(clip_names), 1))
+    for i, name in enumerate(clip_names):
+        clips = sharded[name]
+        if train:
+            out[name] = train_augment(clips, keys[i], cfg.DATA.SAMPLE_SIZE,
+                                      dataset=dataset)
+        else:
+            out[name] = normalize_only(clips, dataset=dataset)
+    out["targets"] = sharded["targets"]
+    if "index" in sharded:
+        out["index"] = sharded["index"]
     return out
 
 
 def triplet_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
-                        base_key, is_master: bool = True):
+                        base_key, is_master: bool = True, mesh=None):
     """One triplet epoch (reference online_train.py:245-434)."""
     losses = AverageMeter("loss")
     n_triplets = AverageMeter("n_triplets")
@@ -70,7 +88,7 @@ def triplet_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
     for batch_idx, batch in enumerate(train_loader):
         key = jax.random.fold_in(base_key, epoch * 100000 + batch_idx)
         aug_key, step_key = jax.random.split(key)
-        dev_batch = _device_batch(batch, cfg, aug_key, train=True)
+        dev_batch = _device_batch(batch, cfg, aug_key, train=True, mesh=mesh)
         state, metrics = step_fn(state, dev_batch, step_key)
         bsz = batch["__size__"]
         losses.update(float(metrics["loss"]), bsz)
@@ -79,6 +97,78 @@ def triplet_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
             print(f"Train Epoch: {epoch} [{losses.count}]\t"
                   f"Loss: {losses.val:.4f} ({losses.avg:.4f})\t"
                   f"N_Triplets: {n_triplets.avg:.1f}")
+    if is_master:
+        runtime_h = (time.time() - start) / 3600
+        print(f"\nTrain set: Average loss: {losses.avg:.4f}")
+        append_metric_line(cfg.OUTPUT_PATH, "train_loss_and_acc.txt",
+                           f"epoch:{epoch} runtime:{round(runtime_h, 2)} "
+                           f"{losses.avg:.4f}")
+    return state, losses.avg
+
+
+def contrastive_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
+                            base_key, is_master: bool = True, mesh=None,
+                            modality: str = "res"):
+    """One contrastive (NCE) epoch (reference contrastive_train_epoch,
+    online_train.py:136-225). The two views are the triplet loader's
+    anchor and positive clips (``inputs[0]``/``inputs[1]`` in the
+    reference); for ``modality='res'`` view2 is the on-device frame
+    residual of view1 (reference ``diff``, :228-230 — computed inside the
+    jitted step)."""
+    losses = AverageMeter("loss")
+    v1_loss = AverageMeter("view1_loss")
+    v2_loss = AverageMeter("view2_loss")
+    start = time.time()
+    for batch_idx, batch in enumerate(train_loader):
+        key = jax.random.fold_in(base_key, epoch * 100000 + batch_idx)
+        aug_key, step_key = jax.random.split(key)
+        dev = _device_batch(batch, cfg, aug_key, train=True, mesh=mesh)
+        step_batch = {"view1": dev["anchor"], "index": dev["index"]}
+        if modality != "res":
+            step_batch["view2"] = dev["positive"]
+        state, metrics = step_fn(state, step_batch, step_key)
+        bsz = batch["__size__"]
+        losses.update(float(metrics["loss"]), bsz)
+        v1_loss.update(float(metrics["view1_loss"]), bsz)
+        v2_loss.update(float(metrics["view2_loss"]), bsz)
+        if is_master and (batch_idx + 1) % cfg.TRAIN.LOG_INTERVAL == 0:
+            print(f"Train Epoch: {epoch} [{losses.count}]\t"
+                  f"Loss: {losses.val:.4f} ({losses.avg:.4f})")
+    if is_master:
+        runtime_h = (time.time() - start) / 3600
+        print(f"\nTrain set: Average loss: {losses.avg:.4f}")
+        append_metric_line(cfg.OUTPUT_PATH, "train_loss_and_acc.txt",
+                           f"epoch:{epoch} runtime:{round(runtime_h, 2)} "
+                           f"{losses.avg:.4f}")
+    return state, losses.avg
+
+
+def ubernce_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
+                        base_key, is_master: bool = True, mesh=None):
+    """One MoCo/UberNCE epoch (reference UberNCE_train_epoch,
+    online_train.py:60-133): two augmented clips (the triplet loader's
+    anchor/positive pair) through query/momentum encoders, queue logits,
+    CE (info_nce) or masked log-softmax (uber_nce)."""
+    losses = AverageMeter("loss")
+    top1 = AverageMeter("top1")
+    top5 = AverageMeter("top5")
+    start = time.time()
+    for batch_idx, batch in enumerate(train_loader):
+        key = jax.random.fold_in(base_key, epoch * 100000 + batch_idx)
+        aug_key, step_key = jax.random.split(key)
+        dev = _device_batch(batch, cfg, aug_key, train=True, mesh=mesh)
+        b = dev["anchor"].shape[0]
+        step_batch = {"x1": dev["anchor"], "x2": dev["positive"],
+                      "label": dev["targets"][:b]}
+        state, metrics = step_fn(state, step_batch, step_key)
+        bsz = batch["__size__"]
+        losses.update(float(metrics["loss"]), bsz)
+        top1.update(float(metrics["top1"]), bsz)
+        top5.update(float(metrics["top5"]), bsz)
+        if is_master and (batch_idx + 1) % cfg.TRAIN.LOG_INTERVAL == 0:
+            print(f"Train Epoch: {epoch} [{losses.count}]\t"
+                  f"Loss: {losses.val:.4f} ({losses.avg:.4f})  "
+                  f"Top1:{top1.val:.4f} Top5:{top5.val:.4f}")
     if is_master:
         runtime_h = (time.time() - start) / 3600
         print(f"\nTrain set: Average loss: {losses.avg:.4f}")
@@ -131,12 +221,49 @@ def iterative_cluster_step(state, model, cfg, eval_train_loader,
     return labels
 
 
+def _make_step_and_state(args, cfg, model, n_data: int, mesh):
+    """LOSS.TYPE dispatch (reference online_train.py:675-720): build the
+    jitted step and a TrainState whose loss-side banks match."""
+    from ..losses import init_nce_state
+    from ..models.moco import init_moco_state
+
+    dtype = jnp.float32
+    n_views = 2  # anchor+positive stacked forward dominates shapes
+    sample = jnp.zeros((n_views, cfg.DATA.SAMPLE_DURATION,
+                        cfg.DATA.SAMPLE_SIZE, cfg.DATA.SAMPLE_SIZE,
+                        cfg.DATA.INPUT_CHANNEL_NUM), dtype)
+    state = create_train_state(jax.random.key(0), model, cfg, sample)
+
+    loss_type = cfg.LOSS.TYPE
+    if loss_type == "triplet":
+        return make_triplet_train_step(cfg), state
+    if loss_type == "contrastive":
+        intra_neg = cfg.LOSS.INTRA_NEGATIVE
+        modality = "rgb" if str(cfg.DATASET.MODALITY) == "rgb" else "res"
+        nce = init_nce_state(jax.random.key(7), n_data, cfg.LOSS.FEAT_DIM,
+                             intra_neg=intra_neg)
+        state = state.replace(nce=nce)
+        step = make_contrastive_train_step(cfg, n_data, modality=modality,
+                                           intra_neg=intra_neg)
+        return step, state
+    if loss_type == "UberNCE":
+        uber = cfg.MODEL.ARCH == "uber_nce"
+        moco = init_moco_state(state.params, state.batch_stats,
+                               jax.random.key(7), dim=cfg.LOSS.FEAT_DIM,
+                               K=cfg.LOSS.K, with_labels=uber)
+        state = state.replace(moco=moco)
+        step = make_moco_train_step(cfg, model, uber=uber)
+        return step, state
+    raise AssertionError(f"Loss Type:{loss_type} not recognized "
+                         "(reference online_train.py:719-720)")
+
+
 def train(args, cfg) -> None:
-    """Full pretrain loop for LOSS.TYPE='triplet' (the shipped-config path).
+    """Full pretrain loop for all LOSS.TYPE paths.
 
     Mirrors reference online_train.train (:441-776): model, loaders,
     optional resume, per-epoch clustering/training/validation/retrieval/
-    checkpointing.
+    checkpointing — data-parallel over the TPU mesh instead of DDP.
     """
     from ..models import model_selector
     from .checkpoint import (load_checkpoint, restore_train_state,
@@ -144,15 +271,44 @@ def train(args, cfg) -> None:
                              merge_pretrained)
 
     is_master = is_master_proc()
+    mesh = make_mesh(mesh_shape=cfg.TPU.MESH_SHAPE or None)
+    n_devices = mesh.devices.size
+    assert cfg.TRAIN.BATCH_SIZE % n_devices == 0, (
+        f"TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} must divide over "
+        f"{n_devices} devices (reference asserts the same for NUM_GPUS, "
+        "online_train.py:797-798)")
+    assert cfg.VAL.BATCH_SIZE % n_devices == 0, (
+        f"VAL.BATCH_SIZE={cfg.VAL.BATCH_SIZE} not divisible by {n_devices}")
     model = model_selector(cfg)
-    dtype = jnp.float32
-    sample = jnp.zeros((2, cfg.DATA.SAMPLE_DURATION, cfg.DATA.SAMPLE_SIZE,
-                        cfg.DATA.SAMPLE_SIZE, cfg.DATA.INPUT_CHANNEL_NUM),
-                       dtype)
-    state = create_train_state(jax.random.key(0), model, cfg, sample)
 
+    iter_cluster = bool(getattr(args, "iterative_cluster", False))
     start_epoch, best_prec1 = 0, 0.0
-    if getattr(args, "checkpoint_path", None):
+    if getattr(args, "start_epoch", None) is not None:
+        start_epoch = args.start_epoch
+    if iter_cluster and start_epoch >= cfg.ITERCLUSTER.WARMUP_EPOCHS:
+        cfg.DATASET.CLUSTER_PATH = os.path.join(cfg.OUTPUT_PATH,
+                                                "vid_clusters.txt")
+
+    # per-host shard of the global index stream (reference
+    # DistributedSampler, datasets/data_loader.py:283)
+    proc, nproc = jax.process_index(), jax.process_count()
+    train_loader, _ = build_data_loader("train", cfg, is_master,
+                                        triplets=True, shard_index=proc,
+                                        num_shards=nproc)
+    val_loader, _ = build_data_loader("val", cfg, is_master, triplets=True,
+                                      negative_sampling=True)
+    eval_train_loader, _ = build_data_loader(
+        "train", cfg, is_master, triplets=False, req_train_shuffle=False,
+        drop_last=False)
+    eval_val_loader, _ = build_data_loader(
+        "val", cfg, is_master, triplets=False, val_sample=None,
+        drop_last=False)
+
+    step_fn, state = _make_step_and_state(args, cfg, model,
+                                          len(train_loader.dataset), mesh)
+
+    if getattr(args, "checkpoint_path", None) and \
+            os.path.exists(args.checkpoint_path):
         payload = load_checkpoint(args.checkpoint_path)
         if "torch_state_dict" in payload:
             p, s = torch_resnet3d_to_flax(payload["torch_state_dict"])
@@ -164,24 +320,17 @@ def train(args, cfg) -> None:
         else:
             state, start_epoch, best_prec1 = restore_train_state(state,
                                                                  payload)
-    if getattr(args, "start_epoch", None) is not None:
-        start_epoch = args.start_epoch
+        if getattr(args, "start_epoch", None) is not None:
+            start_epoch = args.start_epoch
 
-    iter_cluster = bool(getattr(args, "iterative_cluster", False))
-    if iter_cluster and start_epoch >= cfg.ITERCLUSTER.WARMUP_EPOCHS:
-        cfg.DATASET.CLUSTER_PATH = os.path.join(cfg.OUTPUT_PATH,
-                                                "vid_clusters.txt")
-
-    train_loader, _ = build_data_loader("train", cfg, is_master,
-                                        triplets=True)
-    val_loader, _ = build_data_loader("val", cfg, is_master, triplets=True,
-                                      negative_sampling=True)
-    eval_train_loader, _ = build_data_loader(
-        "train", cfg, is_master, triplets=False, req_train_shuffle=False,
-        drop_last=False)
-
-    step_fn = make_triplet_train_step(cfg)
+    state = replicate(mesh, state)
     base_key = jax.random.key(1234)
+    vector = bool(getattr(args, "vector", False))
+
+    epoch_fns = {"triplet": triplet_train_epoch,
+                 "contrastive": contrastive_train_epoch,
+                 "UberNCE": ubernce_train_epoch}
+    epoch_fn = epoch_fns[cfg.LOSS.TYPE]
 
     for epoch in range(start_epoch, cfg.TRAIN.EPOCHS):
         if is_master:
@@ -196,17 +345,37 @@ def train(args, cfg) -> None:
                                                     "vid_clusters.txt")
             cfg.DATASET.TARGET_TYPE_T = "cluster_label"
             train_loader, _ = build_data_loader("train", cfg, is_master,
-                                                triplets=True)
+                                                triplets=True,
+                                                shard_index=proc,
+                                                num_shards=nproc)
 
         train_loader.set_epoch(epoch)
-        state, _ = triplet_train_epoch(state, step_fn, train_loader, cfg,
-                                       epoch, base_key, is_master)
+        state, _ = epoch_fn(state, step_fn, train_loader, cfg, epoch,
+                            base_key, is_master, mesh=mesh)
 
         acc, topk = validate(state, model, cfg, val_loader, epoch, is_master)
-        prec1 = topk.get(1, 0.0)
-        is_best = prec1 > best_prec1
-        best_prec1 = max(best_prec1, prec1)
+
+        # every-10-epochs global retrieval drives is_best
+        # (reference online_train.py:736-746)
+        is_best = False
+        if epoch % 10 == 0:
+            retr = k_nearest_embeddings(state, model, cfg, eval_train_loader,
+                                        eval_val_loader, epoch=epoch,
+                                        is_master_proc=is_master)
+            top1 = retr.get(1, 0.0)
+            is_best = top1 > best_prec1
+            best_prec1 = max(best_prec1, top1)
+
         if is_master:
-            save_checkpoint(cfg.OUTPUT_PATH, cfg.MODEL.ARCH, state, epoch,
-                            best_prec1, is_best=is_best)
+            # --vector: checkpoint OUTPUT_PATH only on milestone epochs,
+            # but ALWAYS checkpoint the cluster-stable path
+            # (reference online_train.py:756-776)
+            if not vector or (epoch % 100 == 0 or is_best
+                              or epoch == cfg.TRAIN.EPOCHS - 1):
+                save_checkpoint(cfg.OUTPUT_PATH, cfg.MODEL.ARCH, state,
+                                epoch, best_prec1, is_best=is_best)
+            if vector and getattr(args, "checkpoint_path", None):
+                save_checkpoint(os.path.dirname(args.checkpoint_path)
+                                or args.checkpoint_path, cfg.MODEL.ARCH,
+                                state, epoch, best_prec1, is_best=False)
     return state

@@ -223,7 +223,6 @@ def make_moco_train_step(cfg, encoder, uber: bool = False,
 
         moco = state.moco.replace(
             key_params=momentum_update(state.params, state.moco.key_params, m),
-            key_batch_stats=state.batch_stats,
         )
         moco = dequeue_and_enqueue(
             moco, keys, labels=batch["label"] if uber else None,
