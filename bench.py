@@ -44,6 +44,11 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
     t, s = 16, 128  # benchmark clip shape (SURVEY §3.5)
+    # stem_s2d (space-to-depth stem) measured 1.31x on the isolated stem
+    # conv but NET-NEUTRAL end-to-end on v5e (851.8 vs 858.7 clips/s): the
+    # s2d transpose pass costs what the conv gains once XLA fuses the stem
+    # into the full graph. Kept available (models/resnet3d.py stem_s2d) but
+    # off here; see PERF.md for the measurement log.
     model = generate_model(
         18, no_max_pool=True, conv1_t_size=7, conv1_t_stride=1,
         projection_head=True, dtype=jnp.bfloat16,

@@ -25,6 +25,10 @@ def main():
     parser.add_argument("--gpu", default=None, help="ignored on TPU")
     parser.add_argument("--crop", default="avg",
                         help="center|avg (test window handling)")
+    parser.add_argument("--heatmap", default=None, metavar="EX_IDX,TEST_IDX",
+                        help="write a temporal similarity heat-map PNG for "
+                             "exemplar/test video indices (the intended "
+                             "behavior of reference evaluate.py:402-483)")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -69,9 +73,20 @@ def main():
                                         drop_last=False)
     # --crop center: one center clip per test video; avg (default): mean
     # over sliding windows (reference evaluate.py:89-143)
-    test_loader, _ = build_data_loader("test", cfg, triplets=False,
-                                       drop_last=False, batch_size=1,
-                                       test_windows=args.crop != "center")
+    test_loader, (test_dataset, _) = build_data_loader(
+        "test", cfg, triplets=False, drop_last=False, batch_size=1,
+        test_windows=args.crop != "center")
+
+    if args.heatmap:
+        from video_similarity_search_tpu.evaluation import temporal_heat_map
+
+        ex_idx, test_idx = (int(v) for v in args.heatmap.split(","))
+        out_png = os.path.join(cfg.OUTPUT_PATH, "temporal_heat_map.png")
+        temporal_heat_map(state, model, cfg, test_dataset,
+                          exemplar_idx=ex_idx, test_idx=test_idx,
+                          out_png=out_png)
+        print(f"wrote {out_png}")
+
     topk = k_nearest_embeddings(state, model, cfg, train_loader, test_loader,
                                 cache_dir=cfg.OUTPUT_PATH)
     print(f"total runtime: {time.time() - start:.1f}s")

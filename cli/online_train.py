@@ -24,6 +24,10 @@ from video_similarity_search_tpu.train.driver import train
 def main():
     args = arg_parser().parse_args()
     cfg = load_config(args)
+    if args.compute_canada:
+        # node id from the SLURM environment (reference online_train.py:
+        # 806-812 reads $SLURM_NODEID under --compute_canada)
+        args.shard_id = int(os.environ.get("SLURM_NODEID", args.shard_id))
     if args.num_shards > 1:
         initialize_distributed(args.ip_address_port.replace("tcp://", ""),
                                args.num_shards, args.shard_id)

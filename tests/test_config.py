@@ -69,3 +69,31 @@ def test_cli_precedence():
     assert cfg.TRAIN.EPOCHS == 5        # opts beat YAML
     assert cfg.TRAIN.BATCH_SIZE == 8    # flag beats all
     assert cfg.DATASET.SAMPLING_STRATEGY == "fixed_semi_hard"
+
+
+def test_optim_schedule_drives_optimizer():
+    """OPTIM.SCHEDULE epoch milestones produce x0.1 LR drops through the
+    driver's optimizer (the reference defines the key but never consumes
+    it, config/default_params.py:150)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_similarity_search_tpu.config import get_cfg
+    from video_similarity_search_tpu.train.state import make_optimizer
+
+    cfg = get_cfg()
+    cfg.OPTIM.OPTIMIZER = "sgd"
+    cfg.OPTIM.LR = 0.1
+    cfg.OPTIM.MOMENTUM = 0.0
+    cfg.OPTIM.SCHEDULE = [2]
+    tx = make_optimizer(cfg, steps_per_epoch=3)
+    params = {"w": jnp.ones(2)}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones(2)}
+    mags = []
+    for _ in range(9):
+        upd, opt_state = tx.update(grads, opt_state, params)
+        mags.append(abs(float(upd["w"][0])))
+    # steps 0-5 (epochs 0-1): lr 0.1; steps 6-8 (epoch 2+): lr 0.01
+    np.testing.assert_allclose(mags[:6], [0.1] * 6, rtol=1e-5)
+    np.testing.assert_allclose(mags[6:], [0.01] * 3, rtol=1e-5)

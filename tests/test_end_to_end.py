@@ -134,3 +134,24 @@ def test_checkpoint_roundtrip(cfg, tmp_path):
     assert bool(chex_equal)
     assert os.path.exists(os.path.join(str(tmp_path), "tnet_checkpoints",
                                        "3dresnet", "model_best"))
+
+
+def test_temporal_heat_map(cfg, tmp_path):
+    """Intended behavior of reference evaluate.py:402-483: distance of
+    sliding exemplar windows to a fixed test clip, rendered to a PNG."""
+    from video_similarity_search_tpu.evaluation import temporal_heat_map
+
+    model = model_selector(cfg)
+    sample = jnp.zeros((2, 4, 16, 16, 3))
+    state = create_train_state(jax.random.key(0), model, cfg, sample)
+    _, (dataset, _) = build_data_loader("train", cfg, triplets=False,
+                                        req_train_shuffle=False,
+                                        drop_last=False)
+    out = str(tmp_path / "hm.png")
+    positions, dists = temporal_heat_map(state, model, cfg, dataset,
+                                         exemplar_idx=0, test_idx=1,
+                                         out_png=out)
+    # 24 frames, D=4, stride 2 -> windows at 4,6,...,22
+    assert len(positions) == len(dists) == 10
+    assert np.all(np.isfinite(dists)) and np.all(dists >= 0)
+    assert os.path.exists(out)

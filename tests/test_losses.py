@@ -196,3 +196,55 @@ def test_combo_losses():
     # small margin: d(anc, anc2)=0 vs d(anc,pos)>0
     v = float(llc_loss(a, b, a, margin=0.0))
     assert v == pytest.approx(0.0, abs=1e-6)
+
+
+def test_mem_triplet_wired_into_triplet_step():
+    """LOSS.MEM_TRIPLET routes the triplet step through the labeled FIFO
+    bank (the reference left MemTripletLoss commented out,
+    online_train.py:538); queue pointer advances and loss stays finite."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_similarity_search_tpu.config import get_cfg
+    from video_similarity_search_tpu.losses import init_mem_triplet_state
+    from video_similarity_search_tpu.models import model_selector
+    from video_similarity_search_tpu.train import (create_train_state,
+                                                   make_triplet_train_step)
+
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "3dresnet"
+    cfg.RESNET.MODEL_DEPTH = 10
+    cfg.RESNET.NO_MAX_POOl = True
+    cfg.RESNET.HIDDEN_LAYER = 32
+    cfg.RESNET.OUT_DIM = 8
+    cfg.DATA.SAMPLE_DURATION = 4
+    cfg.DATA.SAMPLE_SIZE = 16
+    cfg.LOSS.MEM_TRIPLET = True
+    cfg.LOSS.MEM_TRIPLET_K = 16  # multiple of 2B = 8
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    model = model_selector(cfg)
+    sample = jnp.zeros((2, 4, 16, 16, 3))
+    state = create_train_state(jax.random.key(0), model, cfg, sample)
+    state = state.replace(mem_triplet=init_mem_triplet_state(
+        jax.random.key(9), K=16, dim=8))
+    step = make_triplet_train_step(cfg)
+
+    rng = np.random.default_rng(0)
+    b = 4
+    batch = {
+        "anchor": jnp.asarray(rng.normal(size=(b, 4, 16, 16, 3)),
+                              jnp.float32),
+        "positive": jnp.asarray(rng.normal(size=(b, 4, 16, 16, 3)),
+                                jnp.float32),
+        "targets": jnp.asarray(np.tile(rng.integers(0, 3, b), 2), jnp.int32),
+    }
+    ptr0 = int(state.mem_triplet.queue_ptr)
+    state, m1 = step(state, batch, jax.random.key(1))
+    state, m2 = step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    # 2 steps x 2B=8 enqueued each -> ptr wrapped to (0 + 16) % 16 = 0
+    assert int(state.mem_triplet.queue_ptr) == (ptr0 + 16) % 16
+    # the bank now stores real labels, not the -1 fill
+    assert np.all(np.asarray(state.mem_triplet.label_q) >= 0)

@@ -152,3 +152,33 @@ def test_model_selector_dispatch():
     cfg.MODEL.ARCH = "nope"
     with pytest.raises(AssertionError):
         model_selector(cfg)
+
+
+def test_stem_s2d_equivalence():
+    """The space-to-depth stem is numerically identical to the standard
+    (7,7,7)/(1,2,2) conv1 once the kernel is transformed
+    (models/resnet3d.py conv1_kernel_to_s2d)."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_similarity_search_tpu.models import generate_model
+    from video_similarity_search_tpu.models.resnet3d import \
+        conv1_kernel_to_s2d
+
+    kw = dict(no_max_pool=True, hidden_layer=32, out_dim=8)
+    base = generate_model(10, **kw)
+    fast = generate_model(10, stem_s2d=True, **kw)
+    x = jax.random.normal(jax.random.key(0), (2, 4, 16, 16, 3))
+    variables = base.init(jax.random.key(1), x, train=False)
+
+    v2 = copy.deepcopy(jax.device_get(variables))
+    v2["params"]["conv1"]["Conv_0"]["kernel"] = conv1_kernel_to_s2d(
+        jnp.asarray(v2["params"]["conv1"]["Conv_0"]["kernel"]))
+
+    a = base.apply(variables, x, train=False)
+    b = fast.apply(jax.tree.map(jnp.asarray, v2), x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                               rtol=1e-4)

@@ -95,3 +95,32 @@ def test_connected_components_matches_scipy():
         for comp in range(n_comp):
             ours = labels[expect == comp]
             assert len(np.unique(ours)) == 1
+
+
+def test_pallas_nn_matches_jnp_interpret():
+    """The Pallas fused 1-NN kernel (interpret mode on CPU) matches the
+    jnp tiled nearest_neighbor on cosine metric, including self-exclusion
+    and non-multiple-of-tile sizes."""
+    import jax
+    import numpy as np
+
+    from video_similarity_search_tpu.ops.pallas_knn import \
+        nearest_neighbor_fused
+    from video_similarity_search_tpu.ops.pdist import nearest_neighbor
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(37, 16)).astype(np.float32)
+    idx_ref, d_ref = nearest_neighbor(jax.numpy.asarray(x), metric="cosine",
+                                      exclude_self=True)
+    idx_p, d_p = nearest_neighbor_fused(x, exclude_self=True, tile_m=8,
+                                        tile_n=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_ref))
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_ref), atol=1e-5)
+
+    # cross-bank query (no self-exclusion)
+    y = rng.normal(size=(53, 16)).astype(np.float32)
+    idx_ref, _ = nearest_neighbor(jax.numpy.asarray(x), jax.numpy.asarray(y),
+                                  metric="cosine", exclude_self=False)
+    idx_p, _ = nearest_neighbor_fused(x, y, exclude_self=False, tile_m=8,
+                                      tile_n=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_ref))

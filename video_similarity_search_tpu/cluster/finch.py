@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cc import connected_components
-from ..ops.pdist import nearest_neighbor, pairwise_distance
+from ..ops.pallas_knn import nearest_neighbor_fused
+from ..ops.pdist import pairwise_distance
 from ..ops.segment import segment_mean
 
 DENSE_THRESHOLD = 20000
@@ -78,7 +79,8 @@ def _dense_level(mat, min_sim, metric: str = "cosine",
 
 def _sparse_level0(data, metric: str):
     """Large-N first level: tiled 1-NN + sparse CC (no min_sim at level 0)."""
-    nn, dist = nearest_neighbor(data, metric=metric)
+    # Pallas streaming 1-NN on TPU, jnp tiling elsewhere (ops/pallas_knn.py)
+    nn, dist = nearest_neighbor_fused(data, metric=metric)
     labels = connected_components(nn)
     max_edge = jnp.max(dist)  # direct edges only (see module docstring)
     return labels, nn, max_edge

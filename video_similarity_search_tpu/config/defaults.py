@@ -103,6 +103,8 @@ def _build_default_cfg() -> ConfigNode:
     _C.LOSS.T = 0.07  # temperature
     _C.LOSS.M = 0.5  # memory-bank momentum
     _C.LOSS.FEAT_DIM = 128
+    _C.LOSS.MEM_TRIPLET = False  # triplets vs a K-slot labeled FIFO bank
+    _C.LOSS.MEM_TRIPLET_K = 40  # reference MemTripletLoss K (triplet_loss.py:17)
     _C.LOSS.RELATIVE_SPEED_PERCEPTION = False
     _C.LOSS.LOCAL_LOCAL_CONTRAST = False
     _C.LOSS.LOCAL_LOCAL_WEIGHT = 1.0
@@ -138,6 +140,8 @@ def _build_default_cfg() -> ConfigNode:
     _C.TPU.COMPUTE_DTYPE = "bfloat16"  # model compute dtype (params stay fp32)
     _C.TPU.DONATE_STATE = True
     _C.TPU.PREFETCH_DEPTH = 2  # host->HBM double buffering depth
+    _C.TPU.STEM_S2D = False  # space-to-depth 3dresnet stem (1.3x stem MFU)
+    _C.TPU.PROFILE_DIR = ""  # capture a jax.profiler trace of epoch-0 steps
 
     return _C
 

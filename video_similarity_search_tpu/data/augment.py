@@ -246,3 +246,116 @@ def normalize_only(clips_u8: Array, dataset: str = "ucf101") -> Array:
     x = clips_u8.astype(jnp.float32) / 255.0
     mean, std = normalization_constants(dataset, clips_u8.shape[-1])
     return (x - mean) / std
+
+
+# ---------------------------------------------------------------------------
+# CoCLR clip-transform controllers (reference coclr_utils/augmentation.py)
+# ---------------------------------------------------------------------------
+
+def center_crop_normalize(clips_u8: Array, out_size: int,
+                          dataset: str = "ucf101") -> Array:
+    """The CoCLR 'null' transform: center crop + scale + normalize
+    (reference augmentation.py null_transform usage in TwoClipTransform)."""
+    h, w = clips_u8.shape[2], clips_u8.shape[3]
+    top, left = (h - out_size) // 2, (w - out_size) // 2
+    cropped = clips_u8[:, :, top:top + out_size, left:left + out_size, :]
+    return normalize_only(cropped, dataset=dataset)
+
+
+def rotate_clip(clips: Array, key, degree: float = 15.0,
+                p: float = 1.0) -> Array:
+    """RandomRotation (reference coclr_utils/augmentation.py:334-347):
+    one angle in [-degree, degree] per clip, applied to every frame.
+
+    Divergence (documented): the reference rotates with ``expand=True``
+    (output canvas grows with the angle) — impossible under jit's static
+    shapes; we rotate about the center on the fixed canvas with bilinear
+    sampling and edge padding, which a following crop makes equivalent in
+    practice. Operates on float clips (B, T, H, W, C) in [0, 1].
+    """
+    from jax.scipy.ndimage import map_coordinates
+
+    b, t, h, w, c = clips.shape
+    k_angle, k_do = jax.random.split(key)
+    angles = jax.random.uniform(k_angle, (b,), minval=-degree, maxval=degree)
+    do = jax.random.uniform(k_do, (b,)) < p
+    theta = jnp.where(do, jnp.deg2rad(angles), 0.0)
+
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+
+    def rot_one(clip, th):
+        cos, sin = jnp.cos(th), jnp.sin(th)
+        src_y = cy + (yy - cy) * cos - (xx - cx) * sin
+        src_x = cx + (yy - cy) * sin + (xx - cx) * cos
+
+        def rot_frame_channel(img2d):
+            return map_coordinates(img2d, [src_y, src_x], order=1,
+                                   mode="nearest")
+
+        # (T, H, W, C) -> map over T and C
+        return jax.vmap(lambda fr: jax.vmap(
+            rot_frame_channel, in_axes=-1, out_axes=-1)(fr))(clip)
+
+    return jax.vmap(rot_one)(clips, theta)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "dataset", "p"))
+def two_clip_transform(clip1_u8: Array, clip2_u8: Array, key, out_size: int,
+                       dataset: str = "ucf101", p: float = 0.3
+                       ) -> Tuple[Array, Array]:
+    """TwoClipTransform (reference augmentation.py:383-408): each clip
+    independently gets the base augmentation with probability ``p``, else
+    the null (center-crop+normalize) transform."""
+    k1, k2, kd1, kd2 = jax.random.split(key, 4)
+    b = clip1_u8.shape[0]
+
+    def mix(clips, k_aug, k_do):
+        aug = train_augment(clips, k_aug, out_size, dataset=dataset)
+        null = center_crop_normalize(clips, out_size, dataset=dataset)
+        use_base = (jax.random.uniform(k_do, (b,)) < p)[:, None, None, None,
+                                                        None]
+        return jnp.where(use_base, aug, null)
+
+    return mix(clip1_u8, k1, kd1), mix(clip2_u8, k2, kd2)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "dataset"))
+def one_clip_transform(clip1_u8: Array, clip2_u8: Array, key, out_size: int,
+                       dataset: str = "ucf101") -> Tuple[Array, Array]:
+    """OneClipTransform (reference augmentation.py:411-435): randomly keep
+    ONE of the two clips, return (base(x), null(x)) in random order."""
+    k_pick, k_order, k_aug = jax.random.split(key, 3)
+    b = clip1_u8.shape[0]
+    pick1 = (jax.random.uniform(k_pick, (b,)) < 0.5)[:, None, None, None,
+                                                     None]
+    x = jnp.where(pick1, clip1_u8, clip2_u8)
+    aug = train_augment(x, k_aug, out_size, dataset=dataset)
+    null = center_crop_normalize(x, out_size, dataset=dataset)
+    base_first = (jax.random.uniform(k_order, (b,)) < 0.5)[:, None, None,
+                                                           None, None]
+    return (jnp.where(base_first, aug, null),
+            jnp.where(base_first, null, aug))
+
+
+def two_crops_transform(clips_u8: Array, key, out_size: int,
+                        dataset: str = "ucf101") -> Tuple[Array, Array]:
+    """TwoCropsTransform (reference augmentation.py:452-461): two
+    independent base augmentations of the same clip (query and key)."""
+    k1, k2 = jax.random.split(key)
+    return (train_augment(clips_u8, k1, out_size, dataset=dataset),
+            train_augment(clips_u8, k2, out_size, dataset=dataset))
+
+
+def transform_controller(fns, weights, key, *args, **kwargs):
+    """TransformController (reference augmentation.py:438-450): weighted
+    random choice among transform callables — host-side draw (the choice
+    switches between differently-jitted programs)."""
+    import numpy as np
+
+    w = np.asarray(weights, np.float64)
+    idx = int(np.random.default_rng(
+        int(jax.random.randint(key, (), 0, 2**31 - 1))).choice(
+            len(fns), p=w / w.sum()))
+    return fns[idx](*args, **kwargs)

@@ -97,6 +97,34 @@ class ClipReader:
                                   keep_aspect_short_edge=self.buffer_size)
         return _resize_frames(frames, size)
 
+    def _read_rgb_buffered(self, video_path: str,
+                           frame_indices) -> np.ndarray:
+        """RGB fast path: one GIL-free native C++ call decodes + resizes
+        the whole clip (native/vss_loader.cpp); PIL/cv2 fallback when the
+        native lib is unavailable or any frame fails."""
+        from . import native_loader
+
+        if native_loader.available():
+            import os as _os
+
+            fmt = self.loader.image_name_formatter
+            paths, last = [], None
+            for i in frame_indices:
+                p = _os.path.join(video_path, fmt(i))
+                if _os.path.exists(p):
+                    last = p
+                elif last is None:
+                    break  # leading frame missing: use the PIL path
+                paths.append(last if not _os.path.exists(p) else p)
+            if last is not None and len(paths) == len(frame_indices):
+                try:
+                    return native_loader.decode_frames(
+                        paths, self.buffer_size, self.eval_mode)
+                except RuntimeError:
+                    pass
+        return self._buffered(self._read(self.loader, video_path,
+                                         frame_indices))
+
     def load(self, sample: dict, frame_indices: Sequence[int],
              use_channel_ext: bool = True,
              pos_channel_replace: bool = False) -> np.ndarray:
@@ -112,8 +140,7 @@ class ClipReader:
                         SALIENT_MASK_THRESHOLD:
                     clip = np.repeat(arr[..., :1], 3, axis=-1)
         if clip is None:
-            frames = self._read(self.loader, sample["video"], frame_indices)
-            clip = self._buffered(frames)
+            clip = self._read_rgb_buffered(sample["video"], frame_indices)
             if use_channel_ext and not pos_channel_replace:
                 for key, (_, ch_loader) in self.channel_ext.items():
                     ch_frames = self._read(ch_loader, sample[key],

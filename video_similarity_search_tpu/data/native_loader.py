@@ -1,0 +1,88 @@
+"""ctypes binding for the native C++ batched JPEG clip decoder.
+
+Builds ``native/vss_loader.cpp`` on first use (g++ -O3 -shared, links
+libjpeg) and exposes :func:`decode_frames`. The native path is optional:
+:func:`available` gates every call site and the PIL/cv2 pipeline remains
+the fallback (and the only path for HDF5/flow/mask channels). Disable with
+``VSS_NATIVE_LOADER=0``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "vss_loader.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libvss_loader.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB,
+           _SRC, "-ljpeg", "-lpthread"]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=180)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    return proc.returncode == 0 and os.path.exists(_LIB)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("VSS_NATIVE_LOADER", "1") == "0":
+            return None
+        try:
+            if not os.path.exists(_LIB) or (
+                    os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                if not _build():
+                    return None
+            lib = ctypes.CDLL(_LIB)
+            lib.vss_decode_frames.restype = ctypes.c_int
+            lib.vss_decode_frames.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+            ]
+            _lib = lib
+        except OSError:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_frames(paths: List[str], out_size: int, eval_mode: bool,
+                  n_threads: int = 4) -> np.ndarray:
+    """Decode JPEG ``paths`` -> (T, out_size, out_size, 3) uint8.
+
+    Raises ``RuntimeError`` on any decode failure (caller falls back to
+    the PIL path).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    n = len(paths)
+    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.vss_decode_frames(
+        c_paths, n, out_size, int(eval_mode),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), n_threads)
+    if rc != 0:
+        raise RuntimeError(f"native decode failed for {paths[-rc - 1]!r}")
+    return out

@@ -48,8 +48,11 @@ class Conv3d(nn.Module):
             pad = [(d // 2, d // 2) for d in k]
         elif isinstance(self.padding, str):
             pad = self.padding
+        elif (isinstance(self.padding, (tuple, list))
+              and self.padding and isinstance(self.padding[0], (tuple, list))):
+            pad = [tuple(p) for p in self.padding]  # explicit (lo, hi) pairs
         else:
-            p = _triple(self.padding) if not isinstance(self.padding, int) else _triple(self.padding)
+            p = _triple(self.padding)
             pad = [(d, d) for d in p]
         return nn.Conv(
             features=self.features,

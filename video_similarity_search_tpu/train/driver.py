@@ -42,6 +42,7 @@ from ..evaluation import get_embeddings_and_labels, topk_retrieval_acc, validate
 from ..evaluation.knn import k_nearest_embeddings
 from ..parallel import is_master_proc, make_mesh, replicate, shard_batch
 from ..utils.meters import AverageMeter, append_metric_line
+from ..utils.profiling import StepProfiler, Throughput
 from .state import create_train_state
 from .steps import (diff_view, make_contrastive_train_step,
                     make_moco_train_step, make_triplet_train_step)
@@ -79,27 +80,50 @@ def _device_batch(batch, cfg, key, train: bool, mesh=None):
     return out
 
 
+def _drain(pending, meter_updates):
+    """Pull deferred device metrics onto host. Metrics are NOT read per
+    step — a per-step float() would synchronize the dispatch queue and
+    serialize host decode with device compute; deferring the reads to log
+    points keeps the host pipelining batches ahead of the chip."""
+    for metrics, bsz in pending:
+        meter_updates(metrics, bsz)
+    pending.clear()
+
+
 def triplet_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
                         base_key, is_master: bool = True, mesh=None):
     """One triplet epoch (reference online_train.py:245-434)."""
     losses = AverageMeter("loss")
     n_triplets = AverageMeter("n_triplets")
     start = time.time()
+    profiler = StepProfiler(cfg.TPU.PROFILE_DIR if epoch == 0 else "")
+    thru = Throughput()
+    pending = []
+
+    def update(metrics, bsz):
+        losses.update(float(metrics["loss"]), bsz)
+        n_triplets.update(float(metrics["n_triplets"]))
+
     for batch_idx, batch in enumerate(train_loader):
+        profiler.step(batch_idx)
         key = jax.random.fold_in(base_key, epoch * 100000 + batch_idx)
         aug_key, step_key = jax.random.split(key)
         dev_batch = _device_batch(batch, cfg, aug_key, train=True, mesh=mesh)
         state, metrics = step_fn(state, dev_batch, step_key)
-        bsz = batch["__size__"]
-        losses.update(float(metrics["loss"]), bsz)
-        n_triplets.update(float(metrics["n_triplets"]))
+        pending.append((metrics, batch["__size__"]))
+        thru.tick(batch["__size__"])
         if is_master and (batch_idx + 1) % cfg.TRAIN.LOG_INTERVAL == 0:
+            _drain(pending, update)
             print(f"Train Epoch: {epoch} [{losses.count}]\t"
                   f"Loss: {losses.val:.4f} ({losses.avg:.4f})\t"
-                  f"N_Triplets: {n_triplets.avg:.1f}")
+                  f"N_Triplets: {n_triplets.avg:.1f}\t"
+                  f"{thru.items_per_sec:.1f} clips/s")
+    _drain(pending, update)
+    profiler.close()
     if is_master:
         runtime_h = (time.time() - start) / 3600
-        print(f"\nTrain set: Average loss: {losses.avg:.4f}")
+        print(f"\nTrain set: Average loss: {losses.avg:.4f} "
+              f"({thru.items_per_sec:.1f} clips/s steady-state)")
         append_metric_line(cfg.OUTPUT_PATH, "train_loss_and_acc.txt",
                            f"epoch:{epoch} runtime:{round(runtime_h, 2)} "
                            f"{losses.avg:.4f}")
@@ -119,6 +143,13 @@ def contrastive_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
     v1_loss = AverageMeter("view1_loss")
     v2_loss = AverageMeter("view2_loss")
     start = time.time()
+    pending = []
+
+    def update(metrics, bsz):
+        losses.update(float(metrics["loss"]), bsz)
+        v1_loss.update(float(metrics["view1_loss"]), bsz)
+        v2_loss.update(float(metrics["view2_loss"]), bsz)
+
     for batch_idx, batch in enumerate(train_loader):
         key = jax.random.fold_in(base_key, epoch * 100000 + batch_idx)
         aug_key, step_key = jax.random.split(key)
@@ -127,13 +158,12 @@ def contrastive_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
         if modality != "res":
             step_batch["view2"] = dev["positive"]
         state, metrics = step_fn(state, step_batch, step_key)
-        bsz = batch["__size__"]
-        losses.update(float(metrics["loss"]), bsz)
-        v1_loss.update(float(metrics["view1_loss"]), bsz)
-        v2_loss.update(float(metrics["view2_loss"]), bsz)
+        pending.append((metrics, batch["__size__"]))
         if is_master and (batch_idx + 1) % cfg.TRAIN.LOG_INTERVAL == 0:
+            _drain(pending, update)
             print(f"Train Epoch: {epoch} [{losses.count}]\t"
                   f"Loss: {losses.val:.4f} ({losses.avg:.4f})")
+    _drain(pending, update)
     if is_master:
         runtime_h = (time.time() - start) / 3600
         print(f"\nTrain set: Average loss: {losses.avg:.4f}")
@@ -153,6 +183,13 @@ def ubernce_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
     top1 = AverageMeter("top1")
     top5 = AverageMeter("top5")
     start = time.time()
+    pending = []
+
+    def update(metrics, bsz):
+        losses.update(float(metrics["loss"]), bsz)
+        top1.update(float(metrics["top1"]), bsz)
+        top5.update(float(metrics["top5"]), bsz)
+
     for batch_idx, batch in enumerate(train_loader):
         key = jax.random.fold_in(base_key, epoch * 100000 + batch_idx)
         aug_key, step_key = jax.random.split(key)
@@ -161,14 +198,13 @@ def ubernce_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
         step_batch = {"x1": dev["anchor"], "x2": dev["positive"],
                       "label": dev["targets"][:b]}
         state, metrics = step_fn(state, step_batch, step_key)
-        bsz = batch["__size__"]
-        losses.update(float(metrics["loss"]), bsz)
-        top1.update(float(metrics["top1"]), bsz)
-        top5.update(float(metrics["top5"]), bsz)
+        pending.append((metrics, batch["__size__"]))
         if is_master and (batch_idx + 1) % cfg.TRAIN.LOG_INTERVAL == 0:
+            _drain(pending, update)
             print(f"Train Epoch: {epoch} [{losses.count}]\t"
                   f"Loss: {losses.val:.4f} ({losses.avg:.4f})  "
                   f"Top1:{top1.val:.4f} Top5:{top5.val:.4f}")
+    _drain(pending, update)
     if is_master:
         runtime_h = (time.time() - start) / 3600
         print(f"\nTrain set: Average loss: {losses.avg:.4f}")
@@ -221,21 +257,31 @@ def iterative_cluster_step(state, model, cfg, eval_train_loader,
     return labels
 
 
-def _make_step_and_state(args, cfg, model, n_data: int, mesh):
+def _make_step_and_state(args, cfg, model, n_data: int, mesh,
+                         steps_per_epoch: Optional[int] = None):
     """LOSS.TYPE dispatch (reference online_train.py:675-720): build the
     jitted step and a TrainState whose loss-side banks match."""
     from ..losses import init_nce_state
     from ..models.moco import init_moco_state
+    from .state import make_optimizer
 
     dtype = jnp.float32
     n_views = 2  # anchor+positive stacked forward dominates shapes
     sample = jnp.zeros((n_views, cfg.DATA.SAMPLE_DURATION,
                         cfg.DATA.SAMPLE_SIZE, cfg.DATA.SAMPLE_SIZE,
                         cfg.DATA.INPUT_CHANNEL_NUM), dtype)
-    state = create_train_state(jax.random.key(0), model, cfg, sample)
+    tx = make_optimizer(cfg, steps_per_epoch)  # honors OPTIM.SCHEDULE
+    state = create_train_state(jax.random.key(0), model, cfg, sample, tx=tx)
 
     loss_type = cfg.LOSS.TYPE
     if loss_type == "triplet":
+        if cfg.LOSS.MEM_TRIPLET:
+            from ..losses import init_mem_triplet_state
+            from ..models.registry import embedding_dim
+
+            state = state.replace(mem_triplet=init_mem_triplet_state(
+                jax.random.key(9), K=cfg.LOSS.MEM_TRIPLET_K,
+                dim=embedding_dim(cfg)))
         return make_triplet_train_step(cfg), state
     if loss_type == "contrastive":
         intra_neg = cfg.LOSS.INTRA_NEGATIVE
@@ -304,8 +350,9 @@ def train(args, cfg) -> None:
         "val", cfg, is_master, triplets=False, val_sample=None,
         drop_last=False)
 
-    step_fn, state = _make_step_and_state(args, cfg, model,
-                                          len(train_loader.dataset), mesh)
+    step_fn, state = _make_step_and_state(
+        args, cfg, model, len(train_loader.dataset), mesh,
+        steps_per_epoch=len(train_loader))
 
     if getattr(args, "checkpoint_path", None) and \
             os.path.exists(args.checkpoint_path):

@@ -42,18 +42,29 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def make_optimizer(cfg) -> optax.GradientTransformation:
-    """reference online_train.py:539-548: adam(lr, wd) or sgd(lr, momentum)."""
+def make_optimizer(cfg, steps_per_epoch: Optional[int] = None
+                   ) -> optax.GradientTransformation:
+    """reference online_train.py:539-548: adam(lr, wd) or sgd(lr, momentum).
+
+    ``OPTIM.SCHEDULE`` (epoch milestones, x0.1 LR drops) is honored when
+    ``steps_per_epoch`` is known — the reference defines the key
+    (config/default_params.py:150) but never consumes it; here the driver
+    passes the loader length so the schedule actually drives the LR.
+    """
+    lr = cfg.OPTIM.LR
+    milestones = list(cfg.OPTIM.SCHEDULE or [])
+    if milestones and steps_per_epoch:
+        lr = optax.piecewise_constant_schedule(
+            cfg.OPTIM.LR, {m * steps_per_epoch: 0.1 for m in milestones})
     name = cfg.OPTIM.OPTIMIZER.lower()
     if name == "adam":
         return optax.chain(
             optax.add_decayed_weights(cfg.OPTIM.WD),
-            optax.adam(cfg.OPTIM.LR),
+            optax.adam(lr),
         )
     assert name == "sgd", f"unknown optimizer {name!r}"
     # torch SGD momentum: buf = momentum*buf + grad; update = lr*buf
-    return optax.sgd(cfg.OPTIM.LR, momentum=cfg.OPTIM.MOMENTUM,
-                     nesterov=False)
+    return optax.sgd(lr, momentum=cfg.OPTIM.MOMENTUM, nesterov=False)
 
 
 def create_train_state(rng, model, cfg, sample_input, tx=None,

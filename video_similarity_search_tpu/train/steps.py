@@ -19,8 +19,9 @@ import jax.numpy as jnp
 import optax
 
 from ..losses import (INTRA_NEG_LAMBDA, RSP_LAMBDA, intra_neg_loss, llc_loss,
-                      nce_average, nce_average_intra_neg, nce_criterion,
-                      nce_softmax_loss, online_triplet_loss, rsp_loss)
+                      mem_triplet_loss, nce_average, nce_average_intra_neg,
+                      nce_criterion, nce_softmax_loss, online_triplet_loss,
+                      rsp_loss)
 from ..models.moco import (dequeue_and_enqueue, infonce_forward,
                            momentum_update, ubernce_forward)
 from ..models.slowfast import multipathway_input
@@ -72,6 +73,7 @@ def make_triplet_train_step(cfg) -> Callable:
     margin = cfg.LOSS.MARGIN
     metric = cfg.LOSS.DIST_METRIC
     strategy = cfg.DATASET.SAMPLING_STRATEGY
+    use_mem = cfg.LOSS.MEM_TRIPLET  # reference MemTripletLoss
     use_rsp = cfg.LOSS.RELATIVE_SPEED_PERCEPTION
     use_llc = cfg.LOSS.LOCAL_LOCAL_CONTRAST
     use_intra = cfg.LOSS.INTRA_NEGATIVE
@@ -91,9 +93,20 @@ def make_triplet_train_step(cfg) -> Callable:
                                   cfg, train=True,
                                   rngs={"dropout": drop_key})
             emb2 = emb[:2 * b]
-            t_loss, n_triplets = online_triplet_loss(
-                emb2, batch["targets"], mine_key, margin=margin,
-                dist_metric=metric, sampling_strategy=strategy)
+            if use_mem:
+                # triplets vs the labeled FIFO bank (reference
+                # MemTripletLoss, loss/triplet_loss.py:9-81 — wired here
+                # behind LOSS.MEM_TRIPLET; the reference left it commented
+                # out at online_train.py:538)
+                t_loss, n_triplets, new_mem = mem_triplet_loss(
+                    state.mem_triplet, emb2, batch["targets"], mine_key,
+                    margin=margin, dist_metric=metric,
+                    sampling_strategy=strategy)
+            else:
+                t_loss, n_triplets = online_triplet_loss(
+                    emb2, batch["targets"], mine_key, margin=margin,
+                    dist_metric=metric, sampling_strategy=strategy)
+                new_mem = state.mem_triplet
             aux_loss = 0.0
             if use_rsp:
                 aux_loss = RSP_LAMBDA * rsp_loss(emb[:b], emb[b:2 * b],
@@ -106,11 +119,12 @@ def make_triplet_train_step(cfg) -> Callable:
                 aux_loss = INTRA_NEG_LAMBDA * intra_neg_loss(
                     emb[:b], emb[b:2 * b], emb[2 * b:], metric)
             loss = t_loss + aux_loss
-            return loss, (new_bs, t_loss, aux_loss, n_triplets)
+            return loss, (new_bs, t_loss, aux_loss, n_triplets, new_mem)
 
-        (loss, (new_bs, t_loss, aux, n_trip)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        (loss, (new_bs, t_loss, aux, n_trip, new_mem)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs,
+                                                     mem_triplet=new_mem)
         metrics = {"loss": loss, "triplet_loss": t_loss, "aux_loss": aux,
                    "n_triplets": n_trip}
         return state, metrics
