@@ -33,6 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: the ~30s XLA compile dominates repeat
+# bench invocations over the axon tunnel
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 from video_similarity_search_tpu.models import generate_model
 from video_similarity_search_tpu.utils.flops import (chip_peak_tflops,
                                                      resnet3d_flops_per_clip)

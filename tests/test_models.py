@@ -182,3 +182,39 @@ def test_stem_s2d_equivalence():
     b = fast.apply(jax.tree.map(jnp.asarray, v2), x, train=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                rtol=1e-4)
+
+
+def test_sub_batch_norm_matches_plain_bn_at_one_split():
+    """SubBatchNorm(num_splits=1) == standard BN in train mode, and the
+    aggregated running stats serve eval (reference SubBatchNorm3d,
+    batchnorm_helper.py:41-120)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_similarity_search_tpu.models.layers import SubBatchNorm
+
+    x = jax.random.normal(jax.random.key(0), (8, 2, 4, 4, 6))
+
+    sbn = SubBatchNorm(num_splits=1)
+    v = sbn.init(jax.random.key(1), x, use_running_average=False)
+    y1, mut = sbn.apply(v, x, use_running_average=False,
+                        mutable=["batch_stats"])
+
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    vr = ref.init(jax.random.key(1), x)
+    y2, _ = ref.apply(vr, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+    # num_splits=4: per-split normalization differs from global BN but is
+    # finite; eval uses the aggregated stats
+    sbn4 = SubBatchNorm(num_splits=4)
+    v4 = sbn4.init(jax.random.key(1), x, use_running_average=False)
+    y4, mut4 = sbn4.apply(v4, x, use_running_average=False,
+                          mutable=["batch_stats"])
+    assert np.all(np.isfinite(np.asarray(y4)))
+    assert not np.allclose(np.asarray(y4), np.asarray(y2))
+    v4 = {"params": v4["params"], "batch_stats": mut4["batch_stats"]}
+    ye = sbn4.apply(v4, x, use_running_average=True)
+    assert np.all(np.isfinite(np.asarray(ye)))

@@ -49,3 +49,35 @@ def test_sharded_global_mean_matches_single_device():
         xs = shard_batch(mesh, {"x": x})["x"]
         got = float(f(xs))
     assert abs(expect - got) < 1e-6
+
+
+def test_prefetch_loader_shards_disjoint():
+    """Per-host index sharding: two shards see disjoint, covering index
+    sets (replaces the reference DistributedSampler,
+    datasets/data_loader.py:283)."""
+    import numpy as np
+
+    from video_similarity_search_tpu.data.pipeline import PrefetchLoader
+
+    class Ds:
+        def __len__(self):
+            return 20
+
+        def __getitem__(self, i):
+            return {"i": i}
+
+    def collate(items):
+        return {"i": np.array([it["i"] for it in items])}
+
+    seen = []
+    for shard in (0, 1):
+        loader = PrefetchLoader(Ds(), 2, shuffle=True, drop_last=False,
+                                collate=collate, num_workers=1, seed=3,
+                                shard_index=shard, num_shards=2)
+        loader.set_epoch(5)
+        ids = []
+        for batch in loader:
+            ids.extend(batch["i"][:batch["__size__"]].tolist())
+        seen.append(set(ids))
+    assert seen[0].isdisjoint(seen[1])
+    assert seen[0] | seen[1] == set(range(20))

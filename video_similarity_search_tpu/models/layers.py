@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -95,6 +96,61 @@ class BatchNorm(nn.Module):
             param_dtype=jnp.float32,
             axis_name=self.axis_name,
         )(x.astype(jnp.float32)).astype(self.dtype)
+
+
+class SubBatchNorm(nn.Module):
+    """Split-batch BN for multigrid training (reference
+    models/slowfast/slowfast/models/batchnorm_helper.py:41-120
+    SubBatchNorm3d): normalize over batch/``num_splits`` groups during
+    training — statistics computed per split via a reshape trick — while
+    a single aggregated running-stat set serves eval. The affine
+    scale/bias stays global like the reference's shared ``self.bn``
+    weight/bias."""
+
+    num_splits: int = 1
+    use_running_average: Optional[bool] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if ura:
+            y = (xf - ra_mean.value) * jax.lax.rsqrt(ra_var.value + 1e-5)
+        else:
+            b = x.shape[0]
+            assert b % self.num_splits == 0, \
+                f"batch {b} % num_splits {self.num_splits} != 0"
+            g = xf.reshape(self.num_splits, b // self.num_splits,
+                           *x.shape[1:])
+            mean = jnp.mean(g, axis=(1, 2, 3, 4))  # (splits, C)
+            var = jnp.var(g, axis=(1, 2, 3, 4))
+            # aggregate split stats into ONE running set (reference
+            # _get_aggregated_mean_std, batchnorm_helper.py:60-78)
+            agg_mean = jnp.mean(mean, axis=0)
+            agg_var = (jnp.mean(var, axis=0)
+                       + jnp.mean((mean - agg_mean) ** 2, axis=0))
+            momentum = 0.9
+            if not self.is_initializing():
+                ra_mean.value = momentum * ra_mean.value + \
+                    (1 - momentum) * agg_mean
+                ra_var.value = momentum * ra_var.value + \
+                    (1 - momentum) * agg_var
+            mean_b = jnp.repeat(mean, b // self.num_splits, axis=0)
+            var_b = jnp.repeat(var, b // self.num_splits, axis=0)
+            y = (xf - mean_b[:, None, None, None, :]) * jax.lax.rsqrt(
+                var_b[:, None, None, None, :] + 1e-5)
+        return (y * scale + bias).astype(self.dtype)
 
 
 def max_pool3d(x: jnp.ndarray, kernel: int = 3, stride: int = 2, pad: int = 1):

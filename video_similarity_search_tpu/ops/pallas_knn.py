@@ -10,6 +10,13 @@ N x M matrix never exists, so exact 1-NN scales to any bank that fits HBM.
 ``nearest_neighbor_fused`` dispatches: the Pallas kernel on TPU, the jnp
 lax.map tiling (ops/pdist.py) elsewhere — keeping the CPU test suite and
 interpret-mode parity checks working (see .claude/skills/verify/SKILL.md).
+
+Design note — top-k retrieval stays jnp-tiled (ops/pdist.topk_neighbors):
+``lax.top_k`` has no Pallas TPU lowering (verified: NotImplementedError
+for primitive top_k), and a hand-rolled k-pass streaming extraction is
+VPU-bound O(k) per block — slower than XLA's fused matmul + native top_k
+over row tiles for the k<=50 this framework needs. 1-NN (k=1) is the case
+where the streaming argmin genuinely wins, so that is the Pallas kernel.
 """
 
 from __future__ import annotations
