@@ -29,6 +29,9 @@ def main():
                         help="write a temporal similarity heat-map PNG for "
                              "exemplar/test video indices (the intended "
                              "behavior of reference evaluate.py:402-483)")
+    parser.add_argument("--plot", action="store_true",
+                        help="write exemplar retrieval frames PNG "
+                             "(reference evaluate.py:241-275,376-394)")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -68,9 +71,9 @@ def main():
         else:
             state, _, _ = restore_train_state(state, payload)
 
-    train_loader, _ = build_data_loader("train", cfg, triplets=False,
-                                        req_train_shuffle=False,
-                                        drop_last=False)
+    train_loader, (train_dataset, _) = build_data_loader(
+        "train", cfg, triplets=False, req_train_shuffle=False,
+        drop_last=False)
     # --crop center: one center clip per test video; avg (default): mean
     # over sliding windows (reference evaluate.py:89-143)
     test_loader, (test_dataset, _) = build_data_loader(
@@ -89,6 +92,23 @@ def main():
 
     topk = k_nearest_embeddings(state, model, cfg, train_loader, test_loader,
                                 cache_dir=cfg.OUTPUT_PATH)
+
+    if args.plot:
+        from video_similarity_search_tpu.evaluation.embed import \
+            load_cached_embeddings
+        from video_similarity_search_tpu.evaluation.knn import \
+            plot_exemplar_retrievals
+
+        test_emb, _, _ = load_cached_embeddings(
+            os.path.join(cfg.OUTPUT_PATH, "test_embeddings.pkl"))
+        train_emb, _, _ = load_cached_embeddings(
+            os.path.join(cfg.OUTPUT_PATH, "train_embeddings.pkl"))
+        png = plot_exemplar_retrievals(
+            test_emb, train_emb, test_dataset.samples,
+            train_dataset.samples,
+            os.path.join(cfg.OUTPUT_PATH, "exemplar_retrievals.png"))
+        print(f"wrote {png}")
+
     print(f"total runtime: {time.time() - start:.1f}s")
     return topk
 

@@ -7,12 +7,15 @@ import numpy as np
 
 
 def make_synthetic_ucf(root: str, n_classes: int = 3, videos_per_class: int = 4,
-                       n_frames: int = 24, size: int = 48, seed: int = 0):
+                       n_frames: int = 24, size: int = 48, seed: int = 0,
+                       with_test: bool = False):
     """Creates <root>/jpg/<label>/<vid>/image_XXXXX.jpg + annotation.json.
 
     Each class has a distinct dominant color with per-frame noise, so even
     an untrained encoder can retrieve same-class videos above chance.
-    Returns (vid_path, annotation_path).
+    ``with_test`` marks the second-to-last video per class as subset
+    'test' (the kenshohara jsons used with evaluate.py --split test carry
+    a test subset). Returns (vid_path, annotation_path).
     """
     from PIL import Image
 
@@ -27,6 +30,8 @@ def make_synthetic_ucf(root: str, n_classes: int = 3, videos_per_class: int = 4,
             # group structure in the id: v_<label>_g<NN>_c<NN>
             vid = f"v_{label}_g{v:02d}_c01"
             subset = "training" if v < videos_per_class - 1 else "validation"
+            if with_test and v == videos_per_class - 2:
+                subset = "test"
             vdir = os.path.join(jpg_root, label, vid)
             os.makedirs(vdir, exist_ok=True)
             base = colors[c][None, None, :]
@@ -46,3 +51,30 @@ def make_synthetic_ucf(root: str, n_classes: int = 3, videos_per_class: int = 4,
     with open(ann_path, "w") as f:
         json.dump(ann, f)
     return jpg_root, ann_path
+
+
+def add_synthetic_flow(root: str, n_frames: int = 24, size: int = 48,
+                       seed: int = 1):
+    """TVL1-style optical_u/optical_v grayscale frame dirs matching the
+    videos of make_synthetic_ucf: <root>/flow_{u,v}/<vid>/frame%06d.jpg
+    (reference layout, datasets/ucf101.py optical channel paths)."""
+    import json as _json
+
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    with open(os.path.join(root, "annotation.json")) as f:
+        database = _json.load(f)["database"]
+    roots = {}
+    for comp in ("u", "v"):
+        comp_root = os.path.join(root, f"flow_{comp}")
+        roots[comp] = comp_root
+        for vid in database:
+            vdir = os.path.join(comp_root, vid)
+            os.makedirs(vdir, exist_ok=True)
+            for fr in range(1, n_frames + 1):
+                img = rng.integers(60, 200, size=(size, size),
+                                   dtype=np.uint8)
+                Image.fromarray(img, mode="L").save(
+                    os.path.join(vdir, f"frame{fr:06d}.jpg"))
+    return roots["u"], roots["v"]

@@ -205,3 +205,131 @@ def test_ragged_tail_single_trace(synth, tmp_path):
         assert batch["__valid__"].sum() == batch["__size__"]
     assert len(shapes) == 1
     assert sorted(sizes) == [1, 4, 4]
+
+
+def test_driver_iterative_cluster(synth, tmp_path):
+    """The main SLIC path: --iterative_cluster embeds the train set,
+    clusters (FINCH), logs NMI/AMI, writes vid_clusters.txt, adapts the
+    positive-sampling p, and rebuilds the triplet loader with
+    pseudo-labels (reference online_train.py:599-667)."""
+    cfg = _base_cfg(synth, tmp_path)
+    cfg.TRAIN.EPOCHS = 2
+    cfg.ITERCLUSTER.METHOD = "finch"
+    cfg.ITERCLUSTER.INTERVAL = 1
+    cfg.ITERCLUSTER.WARMUP_EPOCHS = 0
+    cfg.ITERCLUSTER.ADAPTIVEP = True
+    p_before = cfg.DATASET.POSITIVE_SAMPLING_P
+    train(_args(iterative_cluster=True), cfg)
+    logs = os.path.join(str(tmp_path), "tnet_checkpoints")
+    assert os.path.exists(os.path.join(str(tmp_path), "vid_clusters.txt"))
+    labels = [int(l) for l in open(
+        os.path.join(str(tmp_path), "vid_clusters.txt")).read().split()]
+    assert len(labels) == 9  # one pseudo-label per train video
+    nmis = open(os.path.join(logs, "NMIs.txt")).read().split()
+    assert len(nmis) == 2  # one clustering step per epoch
+    # adaptive p = 1 - NMI was applied
+    assert cfg.DATASET.POSITIVE_SAMPLING_P != p_before or \
+        float(nmis[-1]) == 0.0
+    assert cfg.DATASET.TARGET_TYPE_T == "cluster_label"
+
+
+def test_driver_flow_channel_replace(synth, tmp_path):
+    """The headline UCF RGB+TVL1-flow config: optical_u/optical_v channel
+    extensions with positive-channel replacement (reference
+    resnet_ucf_itercluster_flow.yaml + datasets/dataset_utils.py:22-114)."""
+    from synthetic_data import add_synthetic_flow
+
+    vid_path, ann_path = synth
+    root = os.path.dirname(ann_path)
+    u_root, v_root = add_synthetic_flow(root)
+    cfg = _base_cfg(synth, tmp_path)
+    cfg.DATASET.CHANNEL_EXTENSIONS = "optical_u,optical_v"
+    cfg.DATASET.OPTICAL_U_PATH = u_root
+    cfg.DATASET.OPTICAL_V_PATH = v_root
+    cfg.DATASET.POS_CHANNEL_REPLACE = True
+    cfg.DATASET.PROB_POS_CHANNEL_REPLACE = 1.0  # always replace
+    cfg.DATA.INPUT_CHANNEL_NUM = 3  # replace mode keeps 3 channels
+    state = train(_args(), cfg)
+    assert int(np.asarray(state.step)) > 0
+    assert os.path.exists(os.path.join(str(tmp_path), "tnet_checkpoints",
+                                       "train_loss_and_acc.txt"))
+
+
+def test_slowfast_triplet_step():
+    """ARCH='slowfast': the jitted triplet step splits clips into
+    [slow, fast] pathways in-graph (multipathway_input, reference
+    models/model_utils.py:130-146) and trains."""
+    import jax.numpy as jnp
+
+    from video_similarity_search_tpu.models import model_selector
+    from video_similarity_search_tpu.train import (create_train_state,
+                                                   make_triplet_train_step)
+
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.SLOWFAST.DEPTH = 50
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.OUT_DIM = 16
+    cfg.DATA.SAMPLE_DURATION = 8
+    cfg.DATA.SAMPLE_SIZE = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    from video_similarity_search_tpu.models.slowfast import \
+        multipathway_input
+
+    model = model_selector(cfg)
+    sample = multipathway_input(jnp.zeros((2, 8, 32, 32, 3)), 4)
+    state = create_train_state(jax.random.key(0), model, cfg, sample)
+    step = make_triplet_train_step(cfg)
+
+    rng = np.random.default_rng(0)
+    b = 2
+    batch = {
+        "anchor": jnp.asarray(rng.normal(size=(b, 8, 32, 32, 3)),
+                              jnp.float32),
+        "positive": jnp.asarray(rng.normal(size=(b, 8, 32, 32, 3)),
+                                jnp.float32),
+        "targets": jnp.asarray([0, 1, 0, 1], jnp.int32),
+    }
+    state, m = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+    assert int(np.asarray(state.step)) == 1
+
+
+def test_contrastive_rgb_modality_uses_second_view():
+    """modality='rgb': view2 is the independently-augmented positive clip,
+    not the frame residual (reference contrastive_train_epoch,
+    online_train.py:154-158)."""
+    import jax.numpy as jnp
+
+    from video_similarity_search_tpu.losses import init_nce_state
+    from video_similarity_search_tpu.models import model_selector
+    from video_similarity_search_tpu.train import (
+        create_train_state, make_contrastive_train_step)
+
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "3dresnet"
+    cfg.RESNET.MODEL_DEPTH = 10
+    cfg.RESNET.NO_MAX_POOl = True
+    cfg.RESNET.HIDDEN_LAYER = 32
+    cfg.RESNET.OUT_DIM = 8
+    cfg.DATA.SAMPLE_DURATION = 4
+    cfg.DATA.SAMPLE_SIZE = 16
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    model = model_selector(cfg)
+    sample = jnp.zeros((2, 4, 16, 16, 3))
+    state = create_train_state(jax.random.key(0), model, cfg, sample)
+    state = state.replace(nce=init_nce_state(jax.random.key(7), 4, 8))
+    step = make_contrastive_train_step(cfg, 4, modality="rgb")
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "view1": jnp.asarray(rng.normal(size=(2, 4, 16, 16, 3)),
+                             jnp.float32),
+        "view2": jnp.asarray(rng.normal(size=(2, 4, 16, 16, 3)),
+                             jnp.float32),
+        "index": jnp.arange(2, dtype=jnp.int32),
+    }
+    state, m = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))

@@ -155,3 +155,23 @@ def test_temporal_heat_map(cfg, tmp_path):
     assert len(positions) == len(dists) == 10
     assert np.all(np.isfinite(dists)) and np.all(dists >= 0)
     assert os.path.exists(out)
+
+
+def test_channel_extension_concat(cfg, synth):
+    """Without POS_CHANNEL_REPLACE, channel extensions CONCAT into the
+    input channels (reference dataset_utils.py:96-103, data_loader.py:233:
+    len(ext)+3 == INPUT_CHANNEL_NUM)."""
+    from synthetic_data import add_synthetic_flow
+
+    vid_path, ann_path = synth
+    u_root, v_root = add_synthetic_flow(os.path.dirname(ann_path))
+    cfg2 = cfg.clone()
+    cfg2.DATASET.CHANNEL_EXTENSIONS = "optical_u,optical_v"
+    cfg2.DATASET.OPTICAL_U_PATH = u_root
+    cfg2.DATASET.OPTICAL_V_PATH = v_root
+    cfg2.DATASET.POS_CHANNEL_REPLACE = False
+    cfg2.DATA.INPUT_CHANNEL_NUM = 5
+    loader, _ = build_data_loader("train", cfg2, triplets=True)
+    batch = next(iter(loader))
+    assert batch["anchor"].shape[-1] == 5
+    assert batch["positive"].shape[-1] == 5

@@ -27,7 +27,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .loaders import BinaryImageLoaderPIL, VideoLoader
+from .loaders import VideoLoader
 from .manifests import default_image_name_formatter
 from .temporal import Shuffle, get_test_video_frame_indices, \
     temporal_ds_frame_indices

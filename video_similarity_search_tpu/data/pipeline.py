@@ -230,7 +230,21 @@ def build_data_loader(split: str, cfg, is_master_proc: bool = True,
     """Same role/signature as reference build_data_loader
     (datasets/data_loader.py:205-342). Returns (loader, (dataset, None))."""
     dataset_name = cfg.TRAIN.DATASET
-    channel_ext = get_channel_extension(cfg)
+    # channel extensions only where the reference attaches them
+    # (data_loader.py:230-233): with POS_CHANNEL_REPLACE the extra views
+    # exist solely so the TRAIN triplet loader can replace positives —
+    # eval/val loaders stay 3-channel RGB; without replacement the
+    # extensions concat into the input channels everywhere.
+    use_ext = ((triplets and cfg.DATASET.POS_CHANNEL_REPLACE
+                and split == "train")
+               or not cfg.DATASET.POS_CHANNEL_REPLACE)
+    channel_ext = get_channel_extension(cfg) if use_ext else {}
+    if channel_ext and not cfg.DATASET.POS_CHANNEL_REPLACE \
+            and not cfg.DATASET.MODALITY:
+        assert len(channel_ext) + 3 == cfg.DATA.INPUT_CHANNEL_NUM, (
+            f"CHANNEL_EXTENSIONS adds {len(channel_ext)} channels but "
+            f"INPUT_CHANNEL_NUM={cfg.DATA.INPUT_CHANNEL_NUM} "
+            "(reference datasets/data_loader.py:233)")
     cluster_path = cfg.DATASET.CLUSTER_PATH or None
 
     manifest_kwargs = dict(

@@ -67,6 +67,10 @@ def plot_exemplar_retrievals(test_emb, train_emb, test_samples, train_samples,
     queries (reference evaluate.py:241-275, 376-394)."""
     from ..ops.pdist import topk_neighbors
 
+    n_examples = min(n_examples, len(test_samples), len(test_emb))
+    k = min(k, len(train_samples))
+    if n_examples == 0 or k == 0:
+        return None
     idx, _ = topk_neighbors(test_emb[:n_examples], train_emb, k=k)
     idx = np.asarray(idx)
 
@@ -82,7 +86,8 @@ def plot_exemplar_retrievals(test_emb, train_emb, test_samples, train_samples,
         return np.zeros((64, 64, 3), np.uint8)
 
     fig, axes = plt.subplots(n_examples, k + 1,
-                             figsize=(2 * (k + 1), 2 * n_examples))
+                             figsize=(2 * (k + 1), 2 * n_examples),
+                             squeeze=False)
     for r in range(n_examples):
         axes[r][0].imshow(first_frame(test_samples[r]))
         axes[r][0].set_title("query", fontsize=7)

@@ -38,14 +38,14 @@ import numpy as np
 from ..cluster import fit_cluster
 from ..data import build_data_loader, train_augment, write_cluster_labels
 from ..data.augment import normalize_only
-from ..evaluation import get_embeddings_and_labels, topk_retrieval_acc, validate
+from ..evaluation import get_embeddings_and_labels, validate
 from ..evaluation.knn import k_nearest_embeddings
 from ..parallel import is_master_proc, make_mesh, replicate, shard_batch
 from ..utils.meters import AverageMeter, append_metric_line
 from ..utils.profiling import StepProfiler, Throughput
 from .state import create_train_state
-from .steps import (diff_view, make_contrastive_train_step,
-                    make_moco_train_step, make_triplet_train_step)
+from .steps import (make_contrastive_train_step, make_moco_train_step,
+                    make_triplet_train_step)
 
 
 def _shard_host_batch(mesh, batch, keys):
