@@ -90,3 +90,38 @@ def test_torch_import_forward_parity():
     got = fmodel.apply({"params": params, "batch_stats": stats}, x_flax,
                        train=False)
     np.testing.assert_allclose(np.asarray(got), expect, atol=2e-4, rtol=1e-3)
+
+
+def test_same_checkpoint_same_retrieval_ranks():
+    """The BASELINE.json fidelity criterion: the same checkpoint must
+    reproduce the same retrieval RANKS. Embed the same clips through the
+    torch net and the imported flax net and compare the full neighbor
+    ordering."""
+    from video_similarity_search_tpu.ops.pdist import topk_neighbors
+
+    torch.manual_seed(3)
+    tnet = TorchR3D10().eval()
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, (nn.BatchNorm3d, nn.BatchNorm1d)):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+
+    clips = np.random.default_rng(3).normal(
+        size=(12, 3, 4, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        t_emb = tnet(torch.from_numpy(clips)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    params, stats = torch_resnet3d_to_flax(sd)
+    fmodel = generate_model(10, no_max_pool=True, hidden_layer=32,
+                            out_dim=16)
+    f_emb = np.asarray(fmodel.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(clips, (0, 2, 3, 4, 1))), train=False))
+
+    t_idx, _ = topk_neighbors(jnp.asarray(t_emb), jnp.asarray(t_emb),
+                              k=11, exclude_self=True)
+    f_idx, _ = topk_neighbors(jnp.asarray(f_emb), jnp.asarray(f_emb),
+                              k=11, exclude_self=True)
+    np.testing.assert_array_equal(np.asarray(t_idx), np.asarray(f_idx))

@@ -189,10 +189,13 @@ def make_contrastive_train_step(cfg, n_data: int, modality: str = "rgb",
 
 
 def _topk_accuracy(logits, target, ks=(1, 5)):
-    """reference coclr_utils calc_topk_accuracy semantics."""
-    _, pred = jax.lax.top_k(logits, max(ks))
+    """reference coclr_utils calc_topk_accuracy semantics (k clamped to
+    the class count for few-class heads)."""
+    kmax = min(max(ks), logits.shape[-1])
+    _, pred = jax.lax.top_k(logits, kmax)
     correct = pred == target[:, None]
-    return [jnp.mean(jnp.any(correct[:, :k], axis=1).astype(jnp.float32))
+    return [jnp.mean(jnp.any(correct[:, :min(k, kmax)],
+                             axis=1).astype(jnp.float32))
             for k in ks]
 
 
