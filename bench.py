@@ -105,6 +105,10 @@ def main():
         "vs_baseline": round(mfu, 4),  # fraction of chip bf16 roofline
         "tflops_per_sec": round(tflops, 2),
         "mfu": round(mfu, 4),
+        # R3D-18's realistic MXU ceiling: 52% of FLOPs are 64-channel
+        # stage-1 convs that can only fill half the 128-wide MXU
+        # (derivation in PERF.md) — mfu/ceiling is the implementation grade
+        "architectural_ceiling_mfu": 0.58,
         "flops_per_clip_g": round(flops_per_clip / 1e9, 2),
         "peak_tflops": peak,
         "peak_clips_per_sec": round(peak_clips, 1),

@@ -64,17 +64,20 @@ def make_lr_schedule(base_lr, epochs, milestones, cosine, steps_per_epoch):
 
 
 def freeze_mask(params, train_what: str):
-    """Param-group freezing (reference coclr_classify.py:172-196):
-    'last' trains only the classifier head; 'ft'/'all' train everything
-    ('ft' uses a lower backbone LR in the reference — single LR here,
-    documented divergence)."""
+    """Param-group labels (reference coclr_classify.py:172-196):
+    'last' trains only the classifier head (backbone frozen); 'ft'
+    finetunes the backbone at lr/10 with the head at full lr; 'all'
+    trains everything at full lr."""
     import jax
 
     def label(path_tuple):
         top = path_tuple[0].key if hasattr(path_tuple[0], "key") else \
             str(path_tuple[0])
+        head = top in ("final_fc", "final_bn")
         if train_what == "last":
-            return "train" if top in ("final_fc", "final_bn") else "freeze"
+            return "train" if head else "freeze"
+        if train_what == "ft":
+            return "train" if head else "backbone"
         return "train"
 
     return jax.tree_util.tree_map_with_path(lambda p, _: label(p), params)
@@ -141,11 +144,19 @@ def main():
 
     def build_state(lr_or_schedule):
         mask = freeze_mask(params, args.train_what)
+        if callable(lr_or_schedule):
+            backbone_lr = lambda step: lr_or_schedule(step) * 0.1
+        else:
+            backbone_lr = lr_or_schedule * 0.1
         tx = optax.multi_transform(
             {
                 "train": optax.chain(
                     optax.add_decayed_weights(args.wd),
                     optax.sgd(lr_or_schedule, momentum=0.9)),
+                # 'ft': backbone finetunes at lr/10 (reference :181-189)
+                "backbone": optax.chain(
+                    optax.add_decayed_weights(args.wd),
+                    optax.sgd(backbone_lr, momentum=0.9)),
                 "freeze": optax.set_to_zero(),
             },
             mask,

@@ -78,3 +78,20 @@ def test_classify_lr_schedule_applied_through_optimizer():
         upd, opt_state = tx.update(grads, opt_state, params)
     upd_after, _ = tx.update(grads, opt_state, params)
     assert abs(float(upd0["w"][0])) > 5 * abs(float(upd_after["w"][0]))
+
+
+def test_freeze_mask_groups():
+    """'last' freezes the backbone; 'ft' labels it for the lr/10 group;
+    'all' trains everything (reference coclr_classify.py:172-196)."""
+    cc = _load_cli("coclr_classify")
+    params = {"backbone": {"Conv_1a": {"conv1": {"kernel": np.zeros(1)}}},
+              "final_fc": {"kernel": np.zeros(1)},
+              "final_bn": {"scale": np.zeros(1)}}
+    m = cc.freeze_mask(params, "last")
+    assert m["backbone"]["Conv_1a"]["conv1"]["kernel"] == "freeze"
+    assert m["final_fc"]["kernel"] == "train"
+    m = cc.freeze_mask(params, "ft")
+    assert m["backbone"]["Conv_1a"]["conv1"]["kernel"] == "backbone"
+    assert m["final_fc"]["kernel"] == "train"
+    m = cc.freeze_mask(params, "all")
+    assert m["backbone"]["Conv_1a"]["conv1"]["kernel"] == "train"

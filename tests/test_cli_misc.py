@@ -16,14 +16,19 @@ def _run(args, timeout=500):
                           text=True, timeout=timeout, env=ENV)
 
 
-def test_coclr_classify_training_smoke(tmp_path):
-    """Two linear-probe epochs on synthetic frames: CE loss trains, a best
-    checkpoint lands (reference coclr_classify.py:366-389)."""
+import pytest
+
+
+@pytest.mark.parametrize("train_what,epochs", [("last", 2), ("ft", 1)])
+def test_coclr_classify_training_smoke(tmp_path, train_what, epochs):
+    """Linear-probe / finetune epochs on synthetic frames: CE loss trains,
+    a best checkpoint lands; 'ft' exercises the lr/10 backbone group
+    (reference coclr_classify.py:172-196, 366-389)."""
     vid_path, ann_path = make_synthetic_ucf(str(tmp_path / "data"))
     out = str(tmp_path / "out")
     proc = _run([os.path.join(REPO, "cli", "coclr_classify.py"),
                  "--vid_path", vid_path, "--annotation_path", ann_path,
-                 "--train_what", "last", "--epochs", "2",
+                 "--train_what", train_what, "--epochs", str(epochs),
                  "--batch_size", "4", "--seq_len", "8", "--img_dim", "32",
                  "--num_class", "3", "--lr", "0.01", "--output", out])
     assert proc.returncode == 0, proc.stderr[-3000:]

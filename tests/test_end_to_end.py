@@ -175,3 +175,28 @@ def test_channel_extension_concat(cfg, synth):
     batch = next(iter(loader))
     assert batch["anchor"].shape[-1] == 5
     assert batch["positive"].shape[-1] == 5
+
+
+def test_evaluate_crop_center_vs_windows(cfg, synth):
+    """--crop center: one center clip per test video; avg: every
+    non-overlapping window (reference evaluate.py:89-143)."""
+    vid_path, ann_path = synth
+    cfg2 = cfg.clone()
+    # synthetic annotation has no 'test' subset; use with_test data
+    import tempfile
+
+    from synthetic_data import make_synthetic_ucf
+
+    root = tempfile.mkdtemp()
+    vp, ap = make_synthetic_ucf(root, videos_per_class=5, with_test=True)
+    cfg2.DATASET.VID_PATH = vp
+    cfg2.DATASET.ANNOTATION_PATH = ap
+    win_loader, (win_ds, _) = build_data_loader(
+        "test", cfg2, triplets=False, drop_last=False, batch_size=1)
+    cen_loader, (cen_ds, _) = build_data_loader(
+        "test", cfg2, triplets=False, drop_last=False, batch_size=1,
+        test_windows=False)
+    wi = win_ds[0]["clip"]
+    ci = cen_ds[0]["clip"]
+    assert wi.ndim == 5 and wi.shape[0] > 1  # (windows, T, H, W, C)
+    assert ci.ndim == 4  # single center clip

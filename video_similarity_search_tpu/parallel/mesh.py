@@ -56,7 +56,15 @@ def shard_batch(mesh: Mesh, batch):
     process holds its local shard of the global batch (the per-host slice
     the sharded loader produced), assembled into one global array — the
     TPU-native replacement for DistributedSampler + per-rank batches
-    (reference datasets/data_loader.py:283)."""
+    (reference datasets/data_loader.py:283).
+
+    Validation note: the single-host path (including the 8-virtual-device
+    mesh) is covered by the test suite and the driver dryrun; the
+    multi-host branch follows the standard
+    ``jax.make_array_from_process_local_data`` recipe but cannot be
+    executed in the development sandbox (its jaxlib lacks cross-process
+    CPU collectives) — exercise it on a real pod slice before relying on
+    it."""
     sh = batch_sharding(mesh)
     if jax.process_count() > 1:
         return jax.tree.map(
