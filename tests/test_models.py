@@ -218,3 +218,34 @@ def test_sub_batch_norm_matches_plain_bn_at_one_split():
     v4 = {"params": v4["params"], "batch_stats": mut4["batch_stats"]}
     ye = sbn4.apply(v4, x, use_running_average=True)
     assert np.all(np.isfinite(np.asarray(ye)))
+
+
+def test_remat_same_gradients():
+    """TPU.REMAT rematerializes residual blocks: identical loss and
+    gradients, less activation memory (jax.checkpoint per block)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_similarity_search_tpu.models import generate_model
+
+    kw = dict(no_max_pool=True, hidden_layer=32, out_dim=8)
+    base = generate_model(10, **kw)
+    rm = generate_model(10, remat=True, **kw)
+    x = jax.random.normal(jax.random.key(0), (2, 4, 16, 16, 3))
+    v = base.init(jax.random.key(1), x, train=True)
+
+    def loss(model):
+        def f(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    l1, g1 = jax.value_and_grad(loss(base))(v["params"])
+    l2, g2 = jax.value_and_grad(loss(rm))(v["params"])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4)

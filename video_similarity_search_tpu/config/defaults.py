@@ -142,6 +142,7 @@ def _build_default_cfg() -> ConfigNode:
     _C.TPU.PREFETCH_DEPTH = 2  # host->HBM double buffering depth
     _C.TPU.STEM_S2D = False  # space-to-depth 3dresnet stem (1.3x stem MFU)
     _C.TPU.PROFILE_DIR = ""  # capture a jax.profiler trace of epoch-0 steps
+    _C.TPU.REMAT = False  # checkpoint residual blocks (big-batch training)
 
     return _C
 

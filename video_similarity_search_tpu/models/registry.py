@@ -68,6 +68,7 @@ def model_selector(cfg, projection_head: bool = True, classifier: bool = False,
             classifier=classifier,
             dropout=dropout,
             stem_s2d=bool(cfg.TPU.STEM_S2D) if "TPU" in cfg else False,
+            remat=bool(cfg.TPU.REMAT) if "TPU" in cfg else False,
             dtype=dtype,
             axis_name=axis_name,
         )

@@ -223,6 +223,7 @@ class ResNet3D(nn.Module):
     classifier: bool = False
     dropout: Optional[float] = None
     stem_s2d: bool = False  # space-to-depth stem (see module docstring)
+    remat: bool = False  # rematerialize residual blocks (trade FLOPs for HBM)
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
 
@@ -230,6 +231,14 @@ class ResNet3D(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False):
         assert x.ndim == 5, f"expected (B,T,H,W,C), got {x.shape}"
         block_cls = BasicBlock3d if self.block == "basic" else Bottleneck3d
+        if self.remat:
+            # activation checkpointing per residual block: backward recomputes
+            # the block forward instead of keeping its activations in HBM —
+            # what enables the reference's large-batch configs (Kinetics
+            # B=104) on a fixed-HBM chip
+            # static_argnums counts (scope, x, train): train must stay a
+            # python bool so BN's mode stays static under the remat trace
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         expansion = block_cls.expansion
         inplanes = [int(p * self.widen_factor) for p in self.block_inplanes]
 
@@ -271,7 +280,7 @@ class ResNet3D(nn.Module):
                     dtype=self.dtype,
                     axis_name=self.axis_name,
                     name=f"layer{stage}_{b}",
-                )(h, train=train)
+                )(h, train)  # positional: remat static_argnums needs it
             if self.attention:
                 h = ChannelTemporalAttention(
                     dtype=self.dtype, name=f"channel_temporal_attention{stage}"
