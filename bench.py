@@ -44,9 +44,10 @@ from video_similarity_search_tpu.utils.flops import (chip_peak_tflops,
 
 
 def main():
-    # batch 64: measured best on v5e (batch 128 compiles >9 min over the
-    # experimental axon tunnel without improving MFU enough to matter)
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    # batch 80: measured optimum on v5e — the sweep is jagged
+    # (64: 859, 72: 640, 80: 904, 88: 755, 96: 815, 160: 905 clips/s;
+    # PERF.md) and 80 hits the best XLA tiling at tractable compile time
+    batch = int(os.environ.get("BENCH_BATCH", "80"))
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
     t, s = 16, 128  # benchmark clip shape (SURVEY §3.5)
     # stem_s2d (space-to-depth stem) measured 1.31x on the isolated stem
