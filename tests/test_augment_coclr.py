@@ -68,3 +68,33 @@ def test_transform_controller_weighted_choice():
     assert out == "a"
     out = transform_controller(fns, [0.0, 1.0], jax.random.key(0))
     assert out == "b"
+
+
+def test_train_augment_clip_consistent():
+    """One parameter draw per clip, broadcast over frames (reference
+    spatial_transforms.py randomize_parameters): a clip of IDENTICAL
+    frames must stay identical across frames after augmentation."""
+    from video_similarity_search_tpu.data.augment import train_augment
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    clip = jnp.asarray(np.broadcast_to(frame, (4, 32, 32, 3)).copy())[None]
+    out = np.asarray(train_augment(clip, jax.random.key(0), 16))
+    for t in range(1, 4):
+        np.testing.assert_allclose(out[0, t], out[0, 0], atol=1e-6)
+
+
+def test_train_augment_deterministic_and_varied():
+    """Same key -> identical output; different keys -> different crops."""
+    from video_similarity_search_tpu.data.augment import train_augment
+
+    rng = np.random.default_rng(1)
+    clips = jnp.asarray(rng.integers(0, 255, (2, 4, 32, 32, 3),
+                                     dtype=np.uint8))
+    a = np.asarray(train_augment(clips, jax.random.key(5), 16))
+    b = np.asarray(train_augment(clips, jax.random.key(5), 16))
+    c = np.asarray(train_augment(clips, jax.random.key(6), 16))
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, c)
+    # per-clip independence: the two clips get different parameters
+    assert not np.allclose(a[0], a[1])

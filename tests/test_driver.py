@@ -333,3 +333,43 @@ def test_contrastive_rgb_modality_uses_second_view():
     }
     state, m = step(state, batch, jax.random.key(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_contrastive_intra_negative_step():
+    """LOSS.INTRA_NEGATIVE contrastive: a block-shuffled third view feeds
+    the 3-bank NCEAverage_intra_neg (reference online_train.py:179-182 +
+    loss/NCE_loss.py:91-184); output width doubles to 2*(K+1)."""
+    import jax.numpy as jnp
+
+    from video_similarity_search_tpu.losses import init_nce_state
+    from video_similarity_search_tpu.models import model_selector
+    from video_similarity_search_tpu.train import (
+        create_train_state, make_contrastive_train_step)
+
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "3dresnet"
+    cfg.RESNET.MODEL_DEPTH = 10
+    cfg.RESNET.NO_MAX_POOl = True
+    cfg.RESNET.HIDDEN_LAYER = 32
+    cfg.RESNET.OUT_DIM = 8
+    cfg.DATA.SAMPLE_DURATION = 4
+    cfg.DATA.SAMPLE_SIZE = 16
+    cfg.LOSS.INTRA_NEGATIVE = True
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    model = model_selector(cfg)
+    sample = jnp.zeros((2, 4, 16, 16, 3))
+    state = create_train_state(jax.random.key(0), model, cfg, sample)
+    state = state.replace(nce=init_nce_state(jax.random.key(7), 4, 8,
+                                             intra_neg=True))
+    step = make_contrastive_train_step(cfg, 4, modality="res",
+                                       intra_neg=True)
+    rng = np.random.default_rng(0)
+    batch = {
+        "view1": jnp.asarray(rng.normal(size=(2, 4, 16, 16, 3)),
+                             jnp.float32),
+        "index": jnp.arange(2, dtype=jnp.int32),
+    }
+    state, m = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+    assert state.nce.memory_neg is not None
