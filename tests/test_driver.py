@@ -373,3 +373,29 @@ def test_contrastive_intra_negative_step():
     state, m = step(state, batch, jax.random.key(1))
     assert np.isfinite(float(m["loss"]))
     assert state.nce.memory_neg is not None
+
+
+def test_validate_local_batch_metric(synth, tmp_path):
+    """VAL.METRIC='local_batch': per-batch retrieval averaged over batches
+    (reference validation.py:96-130) instead of the global all-gathered
+    protocol."""
+    from video_similarity_search_tpu.data import build_data_loader
+    from video_similarity_search_tpu.evaluation import validate
+    from video_similarity_search_tpu.models import model_selector
+    from video_similarity_search_tpu.train import create_train_state
+
+    import jax.numpy as jnp
+
+    cfg = _base_cfg(synth, tmp_path)
+    cfg.VAL.METRIC = "local_batch"
+    model = model_selector(cfg)
+    sample = jnp.zeros((2, 4, 16, 16, 3))
+    state = create_train_state(jax.random.key(0), model, cfg, sample)
+    loader, _ = build_data_loader("val", cfg, triplets=True,
+                                  negative_sampling=True)
+    acc, topk = validate(state, model, cfg, loader, epoch=0)
+    assert 0.0 <= acc <= 1.0
+    assert set(topk) == {1, 5}
+    assert all(0.0 <= v <= 1.0 for v in topk.values())
+    assert os.path.exists(os.path.join(str(tmp_path), "tnet_checkpoints",
+                                       "val_loss_and_acc.txt"))

@@ -200,3 +200,45 @@ def test_evaluate_crop_center_vs_windows(cfg, synth):
     ci = cen_ds[0]["clip"]
     assert wi.ndim == 5 and wi.shape[0] > 1  # (windows, T, H, W, C)
     assert ci.ndim == 4  # single center clip
+
+
+def test_salient_replace_rejection(cfg, synth):
+    """An (almost) empty salient mask is REJECTED as a positive
+    replacement and the RGB clip is used instead (reference
+    dataset_utils.py:86-90, SALIENT_MASK_THRESHOLD)."""
+    from video_similarity_search_tpu.data.datasets import ClipReader
+
+    vid_path, _ = synth
+
+    class ZeroLoader:
+        def __call__(self, path, frame_indices):
+            return [np.zeros((20, 20, 1), np.uint8)
+                    for _ in frame_indices]
+
+    class OnesLoader:
+        def __call__(self, path, frame_indices):
+            return [np.full((20, 20, 1), 255, np.uint8)
+                    for _ in frame_indices]
+
+    sample = {
+        "video": os.path.join(vid_path, "class0", "v_class0_g00_c01"),
+        "salient": "unused",
+        "num_frames": 8,
+    }
+    # empty mask -> rejected -> RGB clip (3 channels, not a mask replica)
+    reader = ClipReader({"salient": ("unused", ZeroLoader())},
+                        buffer_size=16, eval_mode=False,
+                        prob_pos_channel_replace=1.0,
+                        rng=np.random.default_rng(0))
+    clip = reader.load(sample, [1, 2, 3, 4], pos_channel_replace=True)
+    assert clip.shape == (4, 16, 16, 3)
+    assert not (clip[..., 0] == clip[..., 1]).all()  # real RGB, not mask x3
+
+    # non-empty mask -> replaced: 3 identical channels
+    reader = ClipReader({"salient": ("unused", OnesLoader())},
+                        buffer_size=16, eval_mode=False,
+                        prob_pos_channel_replace=1.0,
+                        rng=np.random.default_rng(0))
+    clip = reader.load(sample, [1, 2, 3, 4], pos_channel_replace=True)
+    np.testing.assert_array_equal(clip[..., 0], clip[..., 1])
+    np.testing.assert_array_equal(clip[..., 1], clip[..., 2])
