@@ -277,7 +277,7 @@ def main():
                 meters[name].update(float(m[name]), len(batch["target"]))
         print(f"epoch {epoch}: lr {lr:.5f} loss {meters['loss'].avg:.4f} "
               f"top1 {meters['top1'].avg:.4f}")
-        # validation
+        # validation (slice off loader-padded tail rows, __size__ contract)
         v_top1 = AverageMeter("v1")
         for batch in val_loader:
             clips = normalize_only(jnp.asarray(batch["clip"]),
@@ -286,9 +286,9 @@ def main():
                                "batch_stats": state.batch_stats},
                               clips, train=False)
             logits = out[0] if isinstance(out, tuple) else out
-            pred = np.asarray(jnp.argmax(logits, axis=1))
-            v_top1.update(float(np.mean(pred == batch["target"])),
-                          len(batch["target"]))
+            n = int(batch.get("__size__", len(batch["target"])))
+            pred = np.asarray(jnp.argmax(logits, axis=1))[:n]
+            v_top1.update(float(np.mean(pred == batch["target"][:n])), n)
         print(f"  val top1 {v_top1.avg:.4f}")
         if v_top1.avg > best_acc:
             best_acc = v_top1.avg

@@ -80,3 +80,59 @@ def test_merge_pretrained_partial():
     merged, _ = merge_pretrained(init_p, {}, loaded, {}, verbose=False)
     np.testing.assert_allclose(np.asarray(merged["a"]["kernel"]), 1.0)
     np.testing.assert_allclose(np.asarray(merged["b"]["kernel"]), 0.0)
+
+
+def test_restored_opt_state_trains(tmp_path):
+    """The optimizer state restored from orbax must be USABLE: a train
+    step after resume must run (orbax returns plain dicts for optax's
+    NamedTuple states; the restore rebuilds the live tree structure —
+    regression for a crash in optax.sgd's TraceState after resume)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_similarity_search_tpu.config import get_cfg
+    from video_similarity_search_tpu.models import model_selector
+    from video_similarity_search_tpu.train import (create_train_state,
+                                                   load_checkpoint,
+                                                   make_triplet_train_step,
+                                                   restore_train_state,
+                                                   save_checkpoint)
+
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "3dresnet"
+    cfg.RESNET.MODEL_DEPTH = 10
+    cfg.RESNET.NO_MAX_POOl = True
+    cfg.RESNET.HIDDEN_LAYER = 16
+    cfg.RESNET.OUT_DIM = 4
+    cfg.DATA.SAMPLE_DURATION = 4
+    cfg.DATA.SAMPLE_SIZE = 16
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    model = model_selector(cfg)
+    sample = jnp.zeros((2, 4, 16, 16, 3))
+    state = create_train_state(jax.random.key(0), model, cfg, sample)
+    step = make_triplet_train_step(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "anchor": jnp.asarray(rng.normal(size=(2, 4, 16, 16, 3)),
+                              jnp.float32),
+        "positive": jnp.asarray(rng.normal(size=(2, 4, 16, 16, 3)),
+                                jnp.float32),
+        "targets": jnp.asarray([0, 1, 0, 1], jnp.int32),
+    }
+    state, _ = step(state, batch, jax.random.key(1))  # momentum buf filled
+    path = save_checkpoint(str(tmp_path), "3dresnet", state, 0, 0.0)
+
+    state2 = create_train_state(jax.random.key(9), model, cfg, sample)
+    state2, epoch, _ = restore_train_state(state2, load_checkpoint(path))
+    assert epoch == 1
+    # momentum trace round-tripped (non-zero after one step)
+    t1 = jax.tree.leaves(state.opt_state)
+    t2 = jax.tree.leaves(state2.opt_state)
+    assert any(float(jnp.max(jnp.abs(a))) > 0 for a in t2)
+    for a, b in zip(t1, t2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # and the restored optimizer actually steps
+    state2, m = step(state2, batch, jax.random.key(2))
+    assert np.isfinite(float(m["loss"]))

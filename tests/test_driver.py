@@ -168,20 +168,30 @@ def test_driver_ubernce_queue_advances(synth, tmp_path):
 
 
 def test_driver_vector_checkpointing(synth, tmp_path):
-    """--vector: every-epoch checkpoint to the cluster-stable path, plus
-    milestone checkpoints to OUTPUT_PATH (reference online_train.py:756-776)."""
+    """--vector preemptible round-trip: every-epoch checkpoint to the
+    cluster-stable ROOT, milestone checkpoints to OUTPUT_PATH, and a
+    relaunch with the SAME args resumes from the saved epoch instead of
+    restarting (reference online_train.py:756-776 + resume :501-506)."""
     cfg = _base_cfg(synth, tmp_path / "out")
-    stable = tmp_path / "stable" / "ckpt"
-    os.makedirs(str(tmp_path / "stable"), exist_ok=True)
-    train(_args(vector=True, checkpoint_path=str(stable)), cfg)
+    stable = str(tmp_path / "stable")
+    os.makedirs(stable, exist_ok=True)
+    train(_args(vector=True, checkpoint_path=stable), cfg)
     # epoch 0 is a milestone (epoch % 100 == 0) -> OUTPUT_PATH checkpoint
     assert os.path.exists(os.path.join(str(tmp_path / "out"),
                                        "tnet_checkpoints", "3dresnet",
                                        "checkpoint"))
-    # cluster-stable path checkpoint always written
-    assert os.path.exists(os.path.join(str(tmp_path / "stable"),
-                                       "tnet_checkpoints", "3dresnet",
-                                       "checkpoint"))
+    # cluster-stable root checkpoint always written
+    stable_ckpt = os.path.join(stable, "tnet_checkpoints", "3dresnet",
+                               "checkpoint")
+    assert os.path.exists(stable_ckpt)
+
+    # preemption + relaunch with identical args: resumes at epoch 1 ==
+    # EPOCHS, so NO new epoch runs and no new train-log line appears
+    log = os.path.join(str(tmp_path / "out"), "tnet_checkpoints",
+                       "train_loss_and_acc.txt")
+    n_lines = len(open(log).read().splitlines())
+    train(_args(vector=True, checkpoint_path=stable), cfg)
+    assert len(open(log).read().splitlines()) == n_lines
 
 
 def test_ragged_tail_single_trace(synth, tmp_path):
@@ -399,3 +409,32 @@ def test_validate_local_batch_metric(synth, tmp_path):
     assert all(0.0 <= v <= 1.0 for v in topk.values())
     assert os.path.exists(os.path.join(str(tmp_path), "tnet_checkpoints",
                                        "val_loss_and_acc.txt"))
+
+
+def test_resume_reenables_cluster_labels(synth, tmp_path):
+    """Resuming past WARMUP_EPOCHS must re-enable the pseudo-label tables
+    IMMEDIATELY (from the checkpoint-derived epoch), not wait for the next
+    clustering interval (review finding: the gate ran before the
+    checkpoint was loaded)."""
+    cfg = _base_cfg(synth, tmp_path)
+    cfg.TRAIN.EPOCHS = 1
+    cfg.ITERCLUSTER.METHOD = "finch"
+    cfg.ITERCLUSTER.INTERVAL = 5  # no boundary at epoch 1
+    cfg.ITERCLUSTER.WARMUP_EPOCHS = 0
+    stable = str(tmp_path / "stable")
+    os.makedirs(stable, exist_ok=True)
+    train(_args(iterative_cluster=True, vector=True,
+                checkpoint_path=stable), cfg)
+    assert os.path.exists(os.path.join(str(tmp_path), "vid_clusters.txt"))
+
+    # resume for epoch 1: start_epoch comes from the checkpoint (1 >= 0),
+    # so CLUSTER_PATH must be set before the loaders are built
+    cfg2 = _base_cfg(synth, tmp_path)
+    cfg2.TRAIN.EPOCHS = 2
+    cfg2.ITERCLUSTER.METHOD = "finch"
+    cfg2.ITERCLUSTER.INTERVAL = 5
+    cfg2.ITERCLUSTER.WARMUP_EPOCHS = 0
+    train(_args(iterative_cluster=True, vector=True,
+                checkpoint_path=stable), cfg2)
+    assert cfg2.DATASET.CLUSTER_PATH == os.path.join(
+        str(tmp_path), "vid_clusters.txt")

@@ -309,8 +309,16 @@ class K400_LMDB_2CLIP(KineticsLMDB_2CLIP):
     pass
 
 
+class K400_LMDB(UCF101LMDB):
+    """Single-clip K400 classification reader (reference :706-882)."""
+
+
 class K400_Flow_LMDB_2CLIP(UCF101Flow_LMDB_2CLIP):
     pass
+
+
+class K400_Flow_LMDB(UCF101Flow_LMDB):
+    """Single-clip K400 flow reader."""
 
 
 class UCF101_2STREAM_LMDB_2CLIP:
@@ -436,7 +444,9 @@ def get_lmdb_dataset(dataset: str, root: str, db_path, *, flow: bool = False,
         ("ucf101", True, True): UCF101Flow_LMDB_2CLIP,
         ("hmdb51", False, False): HMDB51LMDB,
         ("hmdb51", True, False): HMDB51Flow_LMDB,
+        ("k400", False, False): K400_LMDB,
         ("k400", False, True): K400_LMDB_2CLIP,
+        ("k400", True, False): K400_Flow_LMDB,
         ("k400", True, True): K400_Flow_LMDB_2CLIP,
     }
     key = (dataset, flow, two_clip)

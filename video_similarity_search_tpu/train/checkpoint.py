@@ -85,19 +85,30 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 
 def restore_train_state(state, payload) -> Tuple[Any, int, float]:
     """Apply a loaded payload to a TrainState; returns
-    (state, start_epoch, best_prec1) (ref model_utils.py:180-211)."""
+    (state, start_epoch, best_prec1) (ref model_utils.py:180-211).
+
+    orbax restores optax's NamedTuple states as plain dicts; the optimizer
+    state is rebuilt by pouring the restored leaves back into the LIVE
+    opt_state's tree structure (leaf order matches: namedtuple fields and
+    orbax's sorted '0','1',... dict keys enumerate identically for optax's
+    small tuples). A mismatched leaf count (optimizer changed) keeps the
+    fresh opt state instead."""
     if "params" in payload:  # native
         state = state.replace(
             params=jax.tree.map(jnp.asarray, payload["params"]),
             batch_stats=jax.tree.map(jnp.asarray, payload["batch_stats"]),
         )
         if payload.get("opt_state") is not None:
-            try:
-                state = state.replace(opt_state=jax.tree.map(
-                    jnp.asarray, payload["opt_state"],
-                    is_leaf=lambda x: isinstance(x, np.ndarray)))
-            except Exception:
-                pass  # optimizer changed shape; keep fresh opt state
+            saved_leaves = jax.tree.leaves(payload["opt_state"])
+            treedef = jax.tree.structure(state.opt_state)
+            live_leaves = jax.tree.leaves(state.opt_state)
+            shapes_match = (
+                len(saved_leaves) == len(live_leaves)
+                and all(np.shape(s) == np.shape(l)
+                        for s, l in zip(saved_leaves, live_leaves)))
+            if shapes_match:
+                state = state.replace(opt_state=jax.tree.unflatten(
+                    treedef, [jnp.asarray(x) for x in saved_leaves]))
         return state, int(payload.get("epoch", 0)), float(
             payload.get("best_prec1", 0.0))
     raise ValueError("unrecognized checkpoint payload")

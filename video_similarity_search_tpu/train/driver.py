@@ -96,7 +96,10 @@ def triplet_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
     losses = AverageMeter("loss")
     n_triplets = AverageMeter("n_triplets")
     start = time.time()
-    profiler = StepProfiler(cfg.TPU.PROFILE_DIR if epoch == 0 else "")
+    # epoch 0 only: cfg dir, else $VSS_PROFILE_DIR (None = env fallback);
+    # "" hard-disables tracing for every later epoch
+    profiler = StepProfiler((cfg.TPU.PROFILE_DIR or None) if epoch == 0
+                            else "")
     thru = Throughput()
     pending = []
 
@@ -328,7 +331,17 @@ def train(args, cfg) -> None:
     model = model_selector(cfg)
 
     iter_cluster = bool(getattr(args, "iterative_cluster", False))
+
+    # resolve + peek the checkpoint BEFORE anything start_epoch-dependent
+    # (cluster-path gate, loader construction): resuming must re-enable the
+    # pseudo-label tables immediately, not at the next interval boundary
+    ckpt_path = _resolve_checkpoint(getattr(args, "checkpoint_path", None),
+                                    cfg.MODEL.ARCH)
+    payload = load_checkpoint(ckpt_path) if ckpt_path else None
     start_epoch, best_prec1 = 0, 0.0
+    if payload is not None:
+        start_epoch = int(payload.get("epoch", 0))
+        best_prec1 = float(payload.get("best_prec1", 0.0))
     if getattr(args, "start_epoch", None) is not None:
         start_epoch = args.start_epoch
     if iter_cluster and start_epoch >= cfg.ITERCLUSTER.WARMUP_EPOCHS:
@@ -336,11 +349,15 @@ def train(args, cfg) -> None:
                                                 "vid_clusters.txt")
 
     # per-host shard of the global index stream (reference
-    # DistributedSampler, datasets/data_loader.py:283)
+    # DistributedSampler, datasets/data_loader.py:283); each host feeds
+    # BATCH_SIZE/nproc items so the assembled GLOBAL batch is BATCH_SIZE
     proc, nproc = jax.process_index(), jax.process_count()
-    train_loader, _ = build_data_loader("train", cfg, is_master,
-                                        triplets=True, shard_index=proc,
-                                        num_shards=nproc)
+    assert cfg.TRAIN.BATCH_SIZE % nproc == 0, (
+        f"TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} must divide across "
+        f"{nproc} hosts")
+    train_loader, _ = build_data_loader(
+        "train", cfg, is_master, triplets=True, shard_index=proc,
+        num_shards=nproc, batch_size=cfg.TRAIN.BATCH_SIZE // nproc)
     val_loader, _ = build_data_loader("val", cfg, is_master, triplets=True,
                                       negative_sampling=True)
     eval_train_loader, _ = build_data_loader(
@@ -354,21 +371,14 @@ def train(args, cfg) -> None:
         args, cfg, model, len(train_loader.dataset), mesh,
         steps_per_epoch=len(train_loader))
 
-    if getattr(args, "checkpoint_path", None) and \
-            os.path.exists(args.checkpoint_path):
-        payload = load_checkpoint(args.checkpoint_path)
+    if payload is not None:
         if "torch_state_dict" in payload:
             p, s = torch_resnet3d_to_flax(payload["torch_state_dict"])
             params, stats = merge_pretrained(state.params, state.batch_stats,
                                              p, s, verbose=is_master)
             state = state.replace(params=params, batch_stats=stats)
-            start_epoch = payload.get("epoch", 0)
-            best_prec1 = payload.get("best_prec1", 0.0)
         else:
-            state, start_epoch, best_prec1 = restore_train_state(state,
-                                                                 payload)
-        if getattr(args, "start_epoch", None) is not None:
-            start_epoch = args.start_epoch
+            state, _, _ = restore_train_state(state, payload)
 
     state = replicate(mesh, state)
     base_key = jax.random.key(1234)
@@ -422,7 +432,33 @@ def train(args, cfg) -> None:
                 save_checkpoint(cfg.OUTPUT_PATH, cfg.MODEL.ARCH, state,
                                 epoch, best_prec1, is_best=is_best)
             if vector and getattr(args, "checkpoint_path", None):
-                save_checkpoint(os.path.dirname(args.checkpoint_path)
-                                or args.checkpoint_path, cfg.MODEL.ARCH,
+                # cluster-stable every-epoch checkpoint: --checkpoint_path
+                # is the ROOT directory; the save lands at
+                # <root>/tnet_checkpoints/<arch>/checkpoint, which is
+                # exactly where _resolve_checkpoint looks on resume
+                save_checkpoint(args.checkpoint_path, cfg.MODEL.ARCH,
                                 state, epoch, best_prec1, is_best=False)
     return state
+
+
+def _resolve_checkpoint(path, arch: str):
+    """Map a --checkpoint_path argument to a loadable checkpoint.
+
+    Accepts: a direct orbax dir / torch .pth.tar, OR a run root (e.g. the
+    --vector stable directory) containing tnet_checkpoints/<arch>/checkpoint
+    — mirroring the reference's <out>/tnet_checkpoints/<arch>/ layout
+    (models/model_utils.py:161-176). Returns None when nothing exists yet
+    (fresh preemptible start)."""
+    if not path:
+        return None
+    nested = os.path.join(path, "tnet_checkpoints", arch, "checkpoint")
+    if os.path.isdir(path):
+        if os.path.exists(nested):
+            return nested
+        # a directory is loadable only if it IS an orbax checkpoint
+        if os.path.exists(os.path.join(path, "_METADATA")):
+            return path
+        return None  # e.g. a fresh --vector stable dir: nothing saved yet
+    if os.path.exists(path):
+        return path  # torch .pth.tar / file checkpoint
+    return None

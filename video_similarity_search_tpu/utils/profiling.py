@@ -23,7 +23,12 @@ class StepProfiler:
     """
 
     def __init__(self, out_dir: Optional[str], start: int = 5, num: int = 5):
-        self.out_dir = out_dir or os.environ.get("VSS_PROFILE_DIR", "")
+        # None = "use the env var"; "" = explicitly disabled (the driver
+        # passes "" for every epoch after 0 — the env fallback must NOT
+        # re-enable tracing there)
+        if out_dir is None:
+            out_dir = os.environ.get("VSS_PROFILE_DIR", "")
+        self.out_dir = out_dir
         self.start = start
         self.num = num
         self._active = False
