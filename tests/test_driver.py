@@ -438,3 +438,24 @@ def test_resume_reenables_cluster_labels(synth, tmp_path):
                 checkpoint_path=stable), cfg2)
     assert cfg2.DATASET.CLUSTER_PATH == os.path.join(
         str(tmp_path), "vid_clusters.txt")
+
+
+def test_pretrain_path_loads_weights_only(synth, tmp_path):
+    """--pretrain_path loads encoder weights without resuming the epoch
+    counter (reference load_pretrained_model, models/model_utils.py:
+    148-156): training starts at epoch 0 with the loaded weights."""
+    cfg = _base_cfg(synth, tmp_path / "a")
+    train(_args(), cfg)
+    ckpt = os.path.join(str(tmp_path / "a"), "tnet_checkpoints",
+                        "3dresnet", "checkpoint")
+    assert os.path.exists(ckpt)
+
+    cfg2 = _base_cfg(synth, tmp_path / "b")
+    args = _args()
+    args.pretrain_path = ckpt
+    train(args, cfg2)
+    # trained from epoch 0 (one fresh epoch line), despite the ckpt's epoch
+    log = os.path.join(str(tmp_path / "b"), "tnet_checkpoints",
+                       "train_loss_and_acc.txt")
+    lines = open(log).read().splitlines()
+    assert len(lines) == 1 and lines[0].startswith("epoch:0")

@@ -371,6 +371,21 @@ def train(args, cfg) -> None:
         args, cfg, model, len(train_loader.dataset), mesh,
         steps_per_epoch=len(train_loader))
 
+    # --pretrain_path: weights only, no epoch/optimizer resume
+    # (reference load_pretrained_model, models/model_utils.py:148-156)
+    pretrain_path = getattr(args, "pretrain_path", None)
+    if pretrain_path:
+        pre = load_checkpoint(pretrain_path)
+        if "torch_state_dict" in pre:
+            from .checkpoint import torch_to_flax
+
+            p, s = torch_to_flax(pre["torch_state_dict"], cfg.MODEL.ARCH)
+        else:
+            p, s = pre.get("params", {}), pre.get("batch_stats", {})
+        params, stats = merge_pretrained(state.params, state.batch_stats,
+                                         p, s, verbose=is_master)
+        state = state.replace(params=params, batch_stats=stats)
+
     if payload is not None:
         if "torch_state_dict" in payload:
             p, s = torch_resnet3d_to_flax(payload["torch_state_dict"])
