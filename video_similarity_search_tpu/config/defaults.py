@@ -103,6 +103,9 @@ def _build_default_cfg() -> ConfigNode:
     _C.LOSS.T = 0.07  # temperature
     _C.LOSS.M = 0.5  # memory-bank momentum
     _C.LOSS.FEAT_DIM = 128
+    _C.LOSS.MOCO = False  # contrastive uses the MemoryMoCo queue instead of
+    # NCEAverage banks (the reference's intended module-level moco=True
+    # branch, online_train.py:38,697 — its import is broken upstream)
     _C.LOSS.MEM_TRIPLET = False  # triplets vs a K-slot labeled FIFO bank
     _C.LOSS.MEM_TRIPLET_K = 40  # reference MemTripletLoss K (triplet_loss.py:17)
     _C.LOSS.RELATIVE_SPEED_PERCEPTION = False

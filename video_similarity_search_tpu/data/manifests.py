@@ -206,10 +206,15 @@ def load_kinetics_manifest(
 
     samples: List[dict] = []
     skipped = 0
+    unknown_labels: Dict[str, int] = {}
     for rel, n_frames, label in rows(path):
         if n_frames < 2 * sample_duration or n_frames <= 0:
             skipped += 1
             continue
+        if label not in classes:
+            # a stale classes.txt / mismatched split file would otherwise
+            # silently poison targets (-1), NMI/AMI, and retrieval top-k
+            unknown_labels[label] = unknown_labels.get(label, 0) + 1
         sample = {
             "video": os.path.join(root_path, rel),
             "num_frames": n_frames,
@@ -219,6 +224,12 @@ def load_kinetics_manifest(
             sample["cluster_label"] = int(cluster_labels[len(samples)])
         samples.append(sample)
     idx_to_class = {i: c for c, i in classes.items()}
+    if unknown_labels:
+        print(f"WARNING: kinetics manifest[{split}]: "
+              f"{sum(unknown_labels.values())} rows across "
+              f"{len(unknown_labels)} labels are ABSENT from the shared "
+              f"class index and got label=-1 (stale classes.txt?): "
+              f"{sorted(unknown_labels)[:5]}")
     if verbose:
         print(f"kinetics manifest[{split}]: {len(samples)} videos "
               f"({skipped} skipped)")

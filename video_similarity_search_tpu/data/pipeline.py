@@ -116,6 +116,15 @@ class PrefetchLoader:
         if self.shuffle:
             idx = np.random.default_rng(self.seed + self.epoch).permutation(n)
         if self.num_shards > 1:
+            # Pad the global permutation (wrapping from the front) so every
+            # host's shard has EQUAL length — otherwise per-host batch counts
+            # can differ by one and the host with the extra step deadlocks in
+            # its jitted collectives. Same semantics as the reference's
+            # torch DistributedSampler (datasets/data_loader.py:283).
+            total = ((n + self.num_shards - 1)
+                     // self.num_shards) * self.num_shards
+            if total > n:
+                idx = np.concatenate([idx, idx[:total - n]])
             idx = idx[self.shard_index::self.num_shards]
         return idx
 

@@ -197,6 +197,19 @@ def memory_moco(state: MemoryMoCoState, q: Array, k: Array, T: float = 0.07,
                               z=new_z)
 
 
+def memory_moco_logits(memory: Array, q: Array, k: Array,
+                       T: float = 0.07) -> Array:
+    """Softmax-path MoCo logits (B, 1+K) against a FIXED memory — the
+    scoring half of :func:`memory_moco` without the queue update. Used for
+    the second view of the symmetric two-view contrastive dispatch so the
+    queue advances exactly once per step."""
+    q = q.astype(jnp.float32)
+    k = jax.lax.stop_gradient(k.astype(jnp.float32))
+    l_pos = jnp.sum(q * k, axis=1, keepdims=True)
+    l_neg = q @ jax.lax.stop_gradient(memory).T
+    return jnp.concatenate([l_pos, l_neg], axis=1) / T
+
+
 def nce_criterion(x: Array, n_data: int) -> Array:
     """Eq.-12 NCE loss (ref NCECriterion :312-337); x: (B, K+1) probs."""
     x = x.astype(jnp.float32)

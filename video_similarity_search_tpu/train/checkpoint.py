@@ -38,6 +38,46 @@ def _ckpt_dir(output_path: str, arch: str) -> str:
     return os.path.join(output_path, "tnet_checkpoints", arch)
 
 
+def _flatten_keystr(tree) -> Dict[str, np.ndarray]:
+    """Flatten a pytree to an explicit {keypath-string: leaf} mapping, so a
+    restore can pour leaves back BY NAME instead of relying on orbax's
+    sorted-dict enumeration order (which silently transposes same-shape
+    leaves when e.g. a tuple level has >= 10 entries and '10' sorts
+    before '2')."""
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(path): np.asarray(leaf)
+            for path, leaf in flat}
+
+
+def _pour_flat(live_tree, saved_flat, name: str, verbose: bool = True):
+    """Rebuild ``live_tree``'s structure from a keypath-keyed flat mapping.
+
+    Leaves whose keypath is missing or whose shape mismatches keep the live
+    (fresh) value — LOUDLY: a resumed run silently losing optimizer momentum
+    or a contrastive memory bank is a correctness bug, not a detail."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(live_tree)
+    out, kept_fresh = [], []
+    for path, live in flat:
+        k = jax.tree_util.keystr(path)
+        sv = saved_flat.get(k)
+        if sv is not None and tuple(np.shape(sv)) == tuple(np.shape(live)):
+            out.append(jnp.asarray(sv))
+        else:
+            kept_fresh.append(k)
+            out.append(live)
+    if kept_fresh and verbose:
+        print(f"WARNING: restore[{name}]: {len(kept_fresh)}/{len(out)} "
+              f"leaves had no matching saved value and stay freshly "
+              f"initialized (first: {kept_fresh[0]})")
+    return jax.tree_util.tree_unflatten(treedef, out), len(kept_fresh)
+
+
+# loss-side TrainState banks persisted alongside params (a --vector
+# preemptible resume of a contrastive/UberNCE/MEM_TRIPLET run must NOT
+# reinitialize its NCE memory banks / MoCo queue mid-training)
+_BANK_FIELDS = ("nce", "moco", "mem_triplet", "memory_moco")
+
+
 def save_checkpoint(output_path: str, arch: str, state, epoch: int,
                     best_prec1: float, is_best: bool = False,
                     keep_every: int = 200) -> str:
@@ -56,8 +96,13 @@ def save_checkpoint(output_path: str, arch: str, state, epoch: int,
         "best_prec1": float(best_prec1),
         "params": jax.tree.map(np.asarray, state.params),
         "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
-        "opt_state": jax.tree.map(np.asarray, state.opt_state),
+        # keypath-keyed (structure-aware restore; see _flatten_keystr)
+        "opt_state_flat": _flatten_keystr(state.opt_state),
     }
+    for bank in _BANK_FIELDS:
+        val = getattr(state, bank, None)
+        if val is not None:
+            payload[f"{bank}_flat"] = _flatten_keystr(val)
     ckpt_path = os.path.join(base, "checkpoint")
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(ckpt_path, payload, force=True)
@@ -83,22 +128,28 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     return ocp.PyTreeCheckpointer().restore(path)
 
 
-def restore_train_state(state, payload) -> Tuple[Any, int, float]:
+def restore_train_state(state, payload, verbose: bool = True
+                        ) -> Tuple[Any, int, float]:
     """Apply a loaded payload to a TrainState; returns
     (state, start_epoch, best_prec1) (ref model_utils.py:180-211).
 
-    orbax restores optax's NamedTuple states as plain dicts; the optimizer
-    state is rebuilt by pouring the restored leaves back into the LIVE
-    opt_state's tree structure (leaf order matches: namedtuple fields and
-    orbax's sorted '0','1',... dict keys enumerate identically for optax's
-    small tuples). A mismatched leaf count (optimizer changed) keeps the
-    fresh opt state instead."""
+    The optimizer state and the loss-side banks (NCE memories / MoCo queue /
+    mem-triplet FIFO) are restored structure-aware: saved as keypath-keyed
+    flat mappings, poured back into the LIVE pytree by name. Any leaf that
+    cannot be matched keeps its fresh value with a printed WARNING (never
+    silently)."""
     if "params" in payload:  # native
         state = state.replace(
             params=jax.tree.map(jnp.asarray, payload["params"]),
             batch_stats=jax.tree.map(jnp.asarray, payload["batch_stats"]),
         )
-        if payload.get("opt_state") is not None:
+        if payload.get("opt_state_flat") is not None:
+            opt, _ = _pour_flat(state.opt_state, payload["opt_state_flat"],
+                                "opt_state", verbose)
+            state = state.replace(opt_state=opt)
+        elif payload.get("opt_state") is not None:
+            # legacy (round-2) layout: enumeration-order pour, gated on a
+            # full leaf-count + shape match
             saved_leaves = jax.tree.leaves(payload["opt_state"])
             treedef = jax.tree.structure(state.opt_state)
             live_leaves = jax.tree.leaves(state.opt_state)
@@ -109,6 +160,20 @@ def restore_train_state(state, payload) -> Tuple[Any, int, float]:
             if shapes_match:
                 state = state.replace(opt_state=jax.tree.unflatten(
                     treedef, [jnp.asarray(x) for x in saved_leaves]))
+            elif verbose:
+                print("WARNING: restore[opt_state]: saved optimizer state "
+                      "does not match the live optimizer (leaf count/shape "
+                      "mismatch) — keeping FRESH opt state; momentum is lost")
+        for bank in _BANK_FIELDS:
+            saved = payload.get(f"{bank}_flat")
+            live = getattr(state, bank, None)
+            if saved is not None and live is not None:
+                poured, _ = _pour_flat(live, saved, bank, verbose)
+                state = state.replace(**{bank: poured})
+            elif saved is not None and live is None and verbose:
+                print(f"WARNING: restore[{bank}]: checkpoint carries a "
+                      f"{bank} bank but the live state has none "
+                      "(LOSS.TYPE changed?) — discarding it")
         return state, int(payload.get("epoch", 0)), float(
             payload.get("best_prec1", 0.0))
     raise ValueError("unrecognized checkpoint payload")

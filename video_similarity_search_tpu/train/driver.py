@@ -288,12 +288,22 @@ def _make_step_and_state(args, cfg, model, n_data: int, mesh,
         return make_triplet_train_step(cfg), state
     if loss_type == "contrastive":
         intra_neg = cfg.LOSS.INTRA_NEGATIVE
+        use_moco = bool(cfg.LOSS.MOCO) and not intra_neg  # ref dispatch
         modality = "rgb" if str(cfg.DATASET.MODALITY) == "rgb" else "res"
-        nce = init_nce_state(jax.random.key(7), n_data, cfg.LOSS.FEAT_DIM,
-                             intra_neg=intra_neg)
-        state = state.replace(nce=nce)
+        if use_moco:
+            # reference's intended moco=True branch (online_train.py:697):
+            # MemoryMoCo(FEAT_DIM, n_data, K, T) instead of NCEAverage
+            from ..losses import init_memory_moco
+
+            state = state.replace(memory_moco=init_memory_moco(
+                jax.random.key(7), K=cfg.LOSS.K, feat_dim=cfg.LOSS.FEAT_DIM))
+        else:
+            nce = init_nce_state(jax.random.key(7), n_data,
+                                 cfg.LOSS.FEAT_DIM, intra_neg=intra_neg)
+            state = state.replace(nce=nce)
         step = make_contrastive_train_step(cfg, n_data, modality=modality,
-                                           intra_neg=intra_neg)
+                                           intra_neg=intra_neg,
+                                           use_moco=use_moco)
         return step, state
     if loss_type == "UberNCE":
         uber = cfg.MODEL.ARCH == "uber_nce"
@@ -335,8 +345,9 @@ def train(args, cfg) -> None:
     # resolve + peek the checkpoint BEFORE anything start_epoch-dependent
     # (cluster-path gate, loader construction): resuming must re-enable the
     # pseudo-label tables immediately, not at the next interval boundary
-    ckpt_path = _resolve_checkpoint(getattr(args, "checkpoint_path", None),
-                                    cfg.MODEL.ARCH)
+    ckpt_path = _resolve_checkpoint(
+        getattr(args, "checkpoint_path", None), cfg.MODEL.ARCH,
+        allow_missing=bool(getattr(args, "vector", False)))
     payload = load_checkpoint(ckpt_path) if ckpt_path else None
     start_epoch, best_prec1 = 0, 0.0
     if payload is not None:
@@ -345,8 +356,16 @@ def train(args, cfg) -> None:
     if getattr(args, "start_epoch", None) is not None:
         start_epoch = args.start_epoch
     if iter_cluster and start_epoch >= cfg.ITERCLUSTER.WARMUP_EPOCHS:
-        cfg.DATASET.CLUSTER_PATH = os.path.join(cfg.OUTPUT_PATH,
-                                                "vid_clusters.txt")
+        cluster_file = os.path.join(cfg.OUTPUT_PATH, "vid_clusters.txt")
+        if os.path.exists(cluster_file):
+            cfg.DATASET.CLUSTER_PATH = cluster_file
+        elif is_master:
+            # resume into a fresh OUTPUT_PATH (e.g. from a --vector stable
+            # checkpoint after preemption): no cluster file exists yet —
+            # train on true labels until the next cluster interval instead
+            # of crashing in read_cluster_labels
+            print(f"resume: {cluster_file} not found; using true labels "
+                  "until the next clustering step")
 
     # per-host shard of the global index stream (reference
     # DistributedSampler, datasets/data_loader.py:283); each host feeds
@@ -355,9 +374,17 @@ def train(args, cfg) -> None:
     assert cfg.TRAIN.BATCH_SIZE % nproc == 0, (
         f"TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} must divide across "
         f"{nproc} hosts")
-    train_loader, _ = build_data_loader(
-        "train", cfg, is_master, triplets=True, shard_index=proc,
-        num_shards=nproc, batch_size=cfg.TRAIN.BATCH_SIZE // nproc)
+    def make_train_loader():
+        # ONE builder for both the initial construction and the post-cluster
+        # rebuild so the per-host batch division can never diverge between
+        # the two sites (each host feeds BATCH_SIZE/nproc items; the
+        # assembled global batch stays BATCH_SIZE).
+        loader, _ = build_data_loader(
+            "train", cfg, is_master, triplets=True, shard_index=proc,
+            num_shards=nproc, batch_size=cfg.TRAIN.BATCH_SIZE // nproc)
+        return loader
+
+    train_loader = make_train_loader()
     val_loader, _ = build_data_loader("val", cfg, is_master, triplets=True,
                                       negative_sampling=True)
     eval_train_loader, _ = build_data_loader(
@@ -416,10 +443,7 @@ def train(args, cfg) -> None:
             cfg.DATASET.CLUSTER_PATH = os.path.join(cfg.OUTPUT_PATH,
                                                     "vid_clusters.txt")
             cfg.DATASET.TARGET_TYPE_T = "cluster_label"
-            train_loader, _ = build_data_loader("train", cfg, is_master,
-                                                triplets=True,
-                                                shard_index=proc,
-                                                num_shards=nproc)
+            train_loader = make_train_loader()
 
         train_loader.set_epoch(epoch)
         state, _ = epoch_fn(state, step_fn, train_loader, cfg, epoch,
@@ -456,14 +480,18 @@ def train(args, cfg) -> None:
     return state
 
 
-def _resolve_checkpoint(path, arch: str):
+def _resolve_checkpoint(path, arch: str, allow_missing: bool = False):
     """Map a --checkpoint_path argument to a loadable checkpoint.
 
     Accepts: a direct orbax dir / torch .pth.tar, OR a run root (e.g. the
     --vector stable directory) containing tnet_checkpoints/<arch>/checkpoint
     — mirroring the reference's <out>/tnet_checkpoints/<arch>/ layout
-    (models/model_utils.py:161-176). Returns None when nothing exists yet
-    (fresh preemptible start)."""
+    (models/model_utils.py:161-176).
+
+    ``allow_missing`` (the --vector preemptible case, where the path is the
+    stable ROOT that may not have been written yet) returns None for a
+    nonexistent/empty target; otherwise a missing path is a typo'd resume
+    and raises instead of silently training from scratch."""
     if not path:
         return None
     nested = os.path.join(path, "tnet_checkpoints", arch, "checkpoint")
@@ -473,7 +501,15 @@ def _resolve_checkpoint(path, arch: str):
         # a directory is loadable only if it IS an orbax checkpoint
         if os.path.exists(os.path.join(path, "_METADATA")):
             return path
-        return None  # e.g. a fresh --vector stable dir: nothing saved yet
+        if allow_missing:
+            return None  # fresh --vector stable dir: nothing saved yet
+        raise FileNotFoundError(
+            f"--checkpoint_path {path!r} contains no checkpoint "
+            f"(looked for {nested} and an orbax _METADATA)")
     if os.path.exists(path):
         return path  # torch .pth.tar / file checkpoint
-    return None
+    if allow_missing:
+        return None  # --vector stable root not created yet (first run)
+    raise FileNotFoundError(
+        f"--checkpoint_path {path!r} does not exist (a missing path is only "
+        "tolerated under --vector, the preemptible-resume case)")

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..losses import MemTripletState, NCEAverageState
+from ..losses import MemTripletState, MemoryMoCoState, NCEAverageState
 from ..models.moco import MoCoState
 
 
@@ -27,6 +27,9 @@ class TrainState(struct.PyTreeNode):
     moco: Optional[MoCoState] = None
     nce: Optional[NCEAverageState] = None
     mem_triplet: Optional[MemTripletState] = None
+    # LOSS.TYPE='contrastive' with LOSS.MOCO: the MemoryMoCo queue
+    # (reference loss/NCE_loss.py:188-241, intended moco=True dispatch)
+    memory_moco: Optional[MemoryMoCoState] = None
 
     tx: optax.GradientTransformation = struct.field(pytree_node=False,
                                                     default=None)

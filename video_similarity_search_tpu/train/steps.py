@@ -19,9 +19,10 @@ import jax.numpy as jnp
 import optax
 
 from ..losses import (INTRA_NEG_LAMBDA, RSP_LAMBDA, intra_neg_loss, llc_loss,
-                      mem_triplet_loss, nce_average, nce_average_intra_neg,
-                      nce_criterion, nce_softmax_loss, online_triplet_loss,
-                      rsp_loss)
+                      mem_triplet_loss, memory_moco, nce_average,
+                      nce_average_intra_neg, nce_criterion, nce_softmax_loss,
+                      online_triplet_loss, rsp_loss)
+from ..losses.nce import memory_moco_logits
 from ..models.moco import (dequeue_and_enqueue, infonce_forward,
                            momentum_update, ubernce_forward)
 from ..models.slowfast import multipathway_input
@@ -134,10 +135,17 @@ def make_triplet_train_step(cfg) -> Callable:
 
 def make_contrastive_train_step(cfg, n_data: int, modality: str = "rgb",
                                 intra_neg: bool = False,
-                                neg_type: str = "shuffle") -> Callable:
+                                neg_type: str = "shuffle",
+                                use_moco: bool = False) -> Callable:
     """Step for LOSS.TYPE='contrastive' (ref contrastive_train_epoch
     :136-225): two views through the encoder, NCEAverage banks, NCE/softmax
-    criteria. batch: view1, view2 (ignored for 'res' modality), index."""
+    criteria. batch: view1, view2 (ignored for 'res' modality), index.
+
+    ``use_moco`` (LOSS.MOCO) swaps the per-sample NCEAverage banks for the
+    MemoryMoCo queue — the reference's intended ``moco=True`` dispatch
+    (online_train.py:38,697; the upstream import is broken, SURVEY §7.4).
+    Symmetric two-view scoring against the pre-update queue; the queue
+    advances once per step with the view2 keys."""
     K, T, M = cfg.LOSS.K, cfg.LOSS.T, cfg.LOSS.M
     use_softmax = True
 
@@ -154,7 +162,16 @@ def make_contrastive_train_step(cfg, n_data: int, modality: str = "rgb",
             st = state.replace(batch_stats=bs1)
             feat2, bs2 = _encode(st, params, view2, cfg, train=True,
                                  rngs={"dropout": drop_key})
-            if intra_neg:
+            if use_moco:
+                # view1 queries / view2 keys advance the queue; view2's
+                # logits score against the SAME pre-update memory
+                out2 = memory_moco_logits(state.memory_moco.memory, feat2,
+                                          feat1, T=T)
+                out1, new_mm = memory_moco(state.memory_moco, feat1, feat2,
+                                           T=T, use_softmax=use_softmax,
+                                           n_data=n_data)
+                new_nce = new_mm
+            elif intra_neg:
                 neg_view = shuffle_view(view1, view_key)
                 st = state.replace(batch_stats=bs2)
                 feat_neg, bs2 = _encode(st, params, neg_view, cfg,
@@ -179,8 +196,9 @@ def make_contrastive_train_step(cfg, n_data: int, modality: str = "rgb",
 
         (loss, (new_bs, new_nce, l1, l2, probs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        bank = {"memory_moco": new_nce} if use_moco else {"nce": new_nce}
         state = state.apply_gradients(grads).replace(batch_stats=new_bs,
-                                                     nce=new_nce)
+                                                     **bank)
         metrics = {"loss": loss, "view1_loss": l1, "view2_loss": l2,
                    "view1_prob": probs[0], "view2_prob": probs[1]}
         return state, metrics
