@@ -256,6 +256,13 @@ def main():
                                    args.cosine, steps_per_epoch)
     state = build_state(lr_schedule)
 
+    # live metrics channel — the reference always writes tensorboard here
+    # via PlotterThread (coclr_classify.py:357-360 +
+    # coclr_utils/tensorboard_utils.py:7-31); CSV + TB-when-importable
+    from video_similarity_search_tpu.utils.metrics_sink import MetricsSink
+
+    sink = MetricsSink(os.path.join(args.output, "metrics"))
+
     best_acc = 0.0
     key = jax.random.key(0)
     for epoch in range(args.epochs):
@@ -277,6 +284,9 @@ def main():
                 meters[name].update(float(m[name]), len(batch["target"]))
         print(f"epoch {epoch}: lr {lr:.5f} loss {meters['loss'].avg:.4f} "
               f"top1 {meters['top1'].avg:.4f}")
+        sink.add_scalar("train/lr", lr, epoch)
+        for name in meters:
+            sink.add_scalar(f"train/{name}", meters[name].avg, epoch)
         # validation (slice off loader-padded tail rows, __size__ contract)
         v_top1 = AverageMeter("v1")
         for batch in val_loader:
@@ -290,10 +300,12 @@ def main():
             pred = np.asarray(jnp.argmax(logits, axis=1))[:n]
             v_top1.update(float(np.mean(pred == batch["target"][:n])), n)
         print(f"  val top1 {v_top1.avg:.4f}")
+        sink.add_scalar("val/top1", v_top1.avg, epoch)
         if v_top1.avg > best_acc:
             best_acc = v_top1.avg
             save_checkpoint(args.output, args.net, state, epoch, best_acc,
                             is_best=True)
+    sink.close()
     return state, step_fn
 
 

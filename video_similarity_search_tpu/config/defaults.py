@@ -20,6 +20,10 @@ def _build_default_cfg() -> ConfigNode:
     _C.TRAIN.NUM_DATA_WORKERS = 4
     _C.TRAIN.LOG_INTERVAL = 5
     _C.TRAIN.EVAL_BATCH_SIZE = False
+    # live scalar metrics to <OUTPUT_PATH>/metrics/ (CSV per log interval +
+    # tensorboard events when importable) — the reference's tensorboardX
+    # PlotterThread channel (coclr_utils/tensorboard_utils.py:7-31)
+    _C.TRAIN.METRICS_SINK = False
 
     # -- Validation (:24-27) ------------------------------------------------
     _C.VAL = ConfigNode()
@@ -72,6 +76,11 @@ def _build_default_cfg() -> ConfigNode:
     _C.SLOWFAST.OUT_DIM = 128
     _C.SLOWFAST.NUM_CLASSES = 400
     _C.SLOWFAST.DROPOUT_RATE = 0.5
+    # 2D->3D temporal inflation of --pretrain_path conv kernels (reference
+    # pyslowfast TRAIN.CHECKPOINT_INFLATE + inflate_weight,
+    # slowfast/utils/checkpoint.py:139-175); Caffe2 .pkl checkpoints are
+    # detected by extension and need no knob
+    _C.SLOWFAST.CHECKPOINT_INFLATE = False
 
     # -- 3D ResNet (:85-97) -----------------------------------------------------
     _C.RESNET = ConfigNode()

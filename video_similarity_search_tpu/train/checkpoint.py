@@ -120,7 +120,9 @@ def save_checkpoint(output_path: str, arch: str, state, epoch: int,
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
-    """Load an orbax dir OR a torch .pth.tar (detected by extension)."""
+    """Load an orbax dir, a torch .pth.tar, or a Caffe2 .pkl (by extension)."""
+    if path.endswith(".pkl"):
+        return load_caffe2_checkpoint(path)
     if path.endswith((".pth.tar", ".pth", ".tar", ".pt")):
         return load_torch_checkpoint(path)
     import orbax.checkpoint as ocp
@@ -303,7 +305,14 @@ def torch_resnet3d_to_flax(sd: Dict[str, np.ndarray],
     return params, stats
 
 
-def _conv_t(v):  # torch Conv3d (Cout, Cin, kT, kH, kW) -> flax (kT,kH,kW,Cin,Cout)
+def _conv_t(v):
+    """torch Conv3d (Cout, Cin, kT, kH, kW) -> flax (kT, kH, kW, Cin, Cout).
+
+    A 4D (2D-conv) kernel maps to kT=1 — the marker the temporal-inflation
+    merge expands to the target kT (reference inflate_weight,
+    models/slowfast/slowfast/utils/checkpoint.py:139-175)."""
+    if np.ndim(v) == 4:  # (Cout, Cin, kH, kW) -> (1, kH, kW, Cin, Cout)
+        return np.transpose(v, (2, 3, 1, 0))[None]
     return np.transpose(v, (2, 3, 4, 1, 0))
 
 
@@ -538,7 +547,10 @@ def torch_slowfast_to_flax(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
 
     Torch naming: ``s{n}.pathway{p}_stem.conv``, ``s{n}_fuse.conv_f2s``,
     ``s{n}.pathway{p}_res{i}.branch1/branch2.{a,b,c}``, ``fc1``/``fc2``
-    projection, ``head.projection`` classifier."""
+    projection, ``head.projection`` classifier. Sub-BN checkpoints are
+    normalized to plain-BN keys first (sub_to_normal_bn_sd); 2D (4D-kernel)
+    conv weights land with kT=1 for the temporal-inflation merge."""
+    sd = sub_to_normal_bn_sd(sd)
     params: dict = {}
     stats: dict = {}
 
@@ -613,6 +625,114 @@ def torch_slowfast_to_flax(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
     return params, stats
 
 
+# --------------------------------------------------------------------------
+# Caffe2 / 2D-inflation / Sub-BN import (reference
+# models/slowfast/slowfast/utils/checkpoint.py:107-389 + c2_model_loading.py)
+# --------------------------------------------------------------------------
+
+# Caffe2 blob name -> pyslowfast torch name, applied in order (the mapping
+# table of reference c2_model_loading.py:9-112 — a name schema, reproduced
+# by necessity so public Caffe2-format SlowFast checkpoints import).
+_C2_NAME_RULES = [
+    # nonlocal: 'nonlocal_conv3_1_theta_w' -> 's3.pathway0_nonlocal1.conv_theta.weight'
+    (r"^nonlocal_conv([0-9]+)_([0-9]+)_(.*)", r"s\1.pathway0_nonlocal\2_\3"),
+    (r"^(.*)_nonlocal([0-9]+)_(theta|g|phi|out)(.*)",
+     r"\1_nonlocal\2.conv_\3\4"),
+    (r"^(.*)_nonlocal([0-9]+)_(bn)_(.*)", r"\1_nonlocal\2.\3.\4"),
+    # fast->slow fusion: 't_pool1_subsample*' / 't_resN_i_branch2c_bn_subsample*'
+    (r"^t_pool1_subsample_bn_(.*)", r"s1_fuse.bn.\1"),
+    (r"^t_pool1_subsample_(.*)", r"s1_fuse.conv_f2s.\1"),
+    (r"^t_res([0-9]+)_([0-9]+)_branch2c_bn_subsample_bn_(.*)",
+     r"s\1_fuse.bn.\3"),
+    (r"^t_res([0-9]+)_([0-9]+)_branch2c_bn_subsample_(.*)",
+     r"s\1_fuse.conv_f2s.\3"),
+    # slow pathway residual blocks + stem
+    (r"^res([0-9]+)_([0-9]+)_branch([0-9]+)([a-z])_(.*)",
+     r"s\1.pathway0_res\2.branch\3.\4_\5"),
+    (r"^res_conv1_bn_(.*)", r"s1.pathway0_stem.bn.\1"),
+    (r"^conv1_(.*)", r"s1.pathway0_stem.conv.\1"),
+    (r"^res([0-9]+)_([0-9]+)_branch([0-9]+)_(.*)",
+     r"s\1.pathway0_res\2.branch\3_\4"),
+    (r"^res_conv1_(.*)", r"s1.pathway0_stem.conv.\1"),
+    # fast pathway ('t_' prefix)
+    (r"^t_res([0-9]+)_([0-9]+)_branch([0-9]+)([a-z])_(.*)",
+     r"s\1.pathway1_res\2.branch\3.\4_\5"),
+    (r"^t_res_conv1_bn_(.*)", r"s1.pathway1_stem.bn.\1"),
+    (r"^t_conv1_(.*)", r"s1.pathway1_stem.conv.\1"),
+    (r"^t_res([0-9]+)_([0-9]+)_branch([0-9]+)_(.*)",
+     r"s\1.pathway1_res\2.branch\3_\4"),
+    (r"^t_res_conv1_(.*)", r"s1.pathway1_stem.conv.\1"),
+    # classifier head + parameter-suffix normalization
+    (r"pred_(.*)", r"head.projection.\1"),
+    (r"(.*)bn.b\Z", r"\1bn.bias"),
+    (r"(.*)bn.s\Z", r"\1bn.weight"),
+    (r"(.*)bn.rm\Z", r"\1bn.running_mean"),
+    (r"(.*)bn.riv\Z", r"\1bn.running_var"),
+    (r"(.*)[\._]b\Z", r"\1.bias"),
+    (r"(.*)[\._]w\Z", r"\1.weight"),
+]
+
+
+def caffe2_name_to_torch(name: str) -> str:
+    """Apply the Caffe2->pytorch naming rules in order (reference
+    get_name_convert_func, c2_model_loading.py:9-112)."""
+    for src, dst in _C2_NAME_RULES:
+        name = re.sub(src, dst, name)
+    return name
+
+
+# Caffe2 solver/bookkeeping blobs that are not model weights
+_C2_SKIP = ("momentum", "lr", "model_iter", "__")
+
+
+def caffe2_blobs_to_torch_sd(blobs: Dict[str, np.ndarray]
+                             ) -> Dict[str, np.ndarray]:
+    """{caffe2 blob name: array} -> pyslowfast-style torch state_dict
+    (reference load_checkpoint convert_from_caffe2 branch,
+    slowfast/utils/checkpoint.py:206-263). Caffe2 conv blobs share torch's
+    (Cout, Cin, kT, kH, kW) layout, so the arch converters below apply
+    unchanged."""
+    sd = {}
+    for key, blob in blobs.items():
+        if any(s in key for s in _C2_SKIP):
+            continue
+        sd[caffe2_name_to_torch(key)] = np.asarray(blob)
+    return sd
+
+
+def load_caffe2_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a Caffe2 pickle ``{"blobs": {...}}`` (the public pretrained
+    SlowFast distribution format) into the torch-import payload shape."""
+    import pickle
+
+    with open(path, "rb") as f:
+        ckpt = pickle.load(f, encoding="latin1")
+    blobs = ckpt["blobs"] if isinstance(ckpt, dict) and "blobs" in ckpt \
+        else ckpt
+    return {"torch_state_dict": caffe2_blobs_to_torch_sd(blobs),
+            "epoch": 0, "best_prec1": 0.0}
+
+
+def sub_to_normal_bn_sd(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Normalize Sub-BN checkpoints to plain-BN keys (reference
+    sub_to_normal_bn, slowfast/utils/checkpoint.py:290-329): ``bn.bn.*``
+    running stats -> ``bn.*``, ``bn.split_bn.*`` dropped, (C,1,1,1)-shaped
+    bn affines squeezed to (C,). Idempotent on normal state dicts."""
+    out = {}
+    for key, v in sd.items():
+        if ".split_bn." in key:
+            continue
+        if key.endswith(("bn.bn.running_mean", "bn.bn.running_var",
+                         "bn.bn.num_batches_tracked")):
+            key = key.replace("bn.bn.", "bn.")
+        elif "bn.bn." in key:
+            continue  # duplicate affine copy held by the wrapper
+        if key.endswith(("bn.weight", "bn.bias")) and np.ndim(v) == 4:
+            v = v[:, 0, 0, 0]
+        out[key] = v
+    return out
+
+
 _ARCH_CONVERTERS = {
     "3dresnet": None,  # torch_resnet3d_to_flax (special: skip_heads arg)
     "s3d": "torch_s3d_to_flax",
@@ -643,30 +763,47 @@ def torch_to_flax(sd: Dict[str, np.ndarray], arch: str,
 
 
 def merge_pretrained(init_params, init_stats, loaded_params, loaded_stats,
-                     verbose: bool = True) -> Tuple[Any, Any]:
+                     verbose: bool = True,
+                     inflate_temporal: bool = False) -> Tuple[Any, Any]:
     """'neq' partial load: take loaded values where the path+shape matches,
-    keep init elsewhere (reference coclr_utils/utils.py:93-118)."""
-    flat_init = dict(jax.tree_util.tree_flatten_with_path(init_params)[0])
-    matched, skipped = 0, 0
+    keep init elsewhere (reference coclr_utils/utils.py:93-118).
+
+    ``inflate_temporal``: a loaded conv kernel of temporal size 1 whose
+    other dims match a (kT, kH, kW, Cin, Cout) target is tiled kT times and
+    divided by kT — the Carreira-Zisserman 2D->3D inflation (reference
+    inflate_weight, slowfast/utils/checkpoint.py:139-175): a temporally
+    constant input then produces exactly the 2D network's activations."""
+    matched, skipped, inflated = 0, 0, 0
 
     def merge(init_tree, loaded_tree):
-        nonlocal matched, skipped
+        nonlocal matched, skipped, inflated
         out = {}
         for k, v in init_tree.items():
             if isinstance(v, dict):
                 out[k] = merge(v, loaded_tree.get(k, {}))
+                continue
+            lv = loaded_tree.get(k) if isinstance(loaded_tree, dict) else None
+            if lv is not None and tuple(np.shape(lv)) == tuple(np.shape(v)):
+                out[k] = jnp.asarray(lv)
+                matched += 1
+            elif (inflate_temporal and lv is not None
+                  and np.ndim(lv) == 5 and np.ndim(v) == 5
+                  and np.shape(lv)[0] == 1
+                  and tuple(np.shape(lv)[1:]) == tuple(np.shape(v)[1:])):
+                kt = np.shape(v)[0]
+                out[k] = jnp.tile(jnp.asarray(lv), (kt, 1, 1, 1, 1)) / kt
+                inflated += 1
             else:
-                lv = loaded_tree.get(k) if isinstance(loaded_tree, dict) else None
-                if lv is not None and tuple(np.shape(lv)) == tuple(np.shape(v)):
-                    out[k] = jnp.asarray(lv)
-                    matched += 1
-                else:
-                    out[k] = v
-                    skipped += 1
+                out[k] = v
+                skipped += 1
         return out
 
     new_params = merge(init_params, loaded_params)
     new_stats = merge(init_stats, loaded_stats)
     if verbose:
-        print(f"partial load: matched {matched} tensors, kept {skipped} at init")
+        msg = (f"partial load: matched {matched} tensors, "
+               f"kept {skipped} at init")
+        if inflate_temporal:
+            msg += f", temporally inflated {inflated}"
+        print(msg)
     return new_params, new_stats

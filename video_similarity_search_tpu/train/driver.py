@@ -91,7 +91,8 @@ def _drain(pending, meter_updates):
 
 
 def triplet_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
-                        base_key, is_master: bool = True, mesh=None):
+                        base_key, is_master: bool = True, mesh=None,
+                        sink=None):
     """One triplet epoch (reference online_train.py:245-434)."""
     losses = AverageMeter("loss")
     n_triplets = AverageMeter("n_triplets")
@@ -121,6 +122,11 @@ def triplet_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
                   f"Loss: {losses.val:.4f} ({losses.avg:.4f})\t"
                   f"N_Triplets: {n_triplets.avg:.1f}\t"
                   f"{thru.items_per_sec:.1f} clips/s")
+            if sink:
+                it = epoch * len(train_loader) + batch_idx
+                sink.add_scalar("train/loss", losses.val, it)
+                sink.add_scalar("train/clips_per_sec",
+                                thru.items_per_sec, it)
     _drain(pending, update)
     profiler.close()
     if is_master:
@@ -130,12 +136,14 @@ def triplet_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
         append_metric_line(cfg.OUTPUT_PATH, "train_loss_and_acc.txt",
                            f"epoch:{epoch} runtime:{round(runtime_h, 2)} "
                            f"{losses.avg:.4f}")
+        if sink:
+            sink.add_scalar("epoch/train_loss", losses.avg, epoch)
     return state, losses.avg
 
 
 def contrastive_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
                             base_key, is_master: bool = True, mesh=None,
-                            modality: str = "res"):
+                            modality: str = "res", sink=None):
     """One contrastive (NCE) epoch (reference contrastive_train_epoch,
     online_train.py:136-225). The two views are the triplet loader's
     anchor and positive clips (``inputs[0]``/``inputs[1]`` in the
@@ -166,6 +174,11 @@ def contrastive_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
             _drain(pending, update)
             print(f"Train Epoch: {epoch} [{losses.count}]\t"
                   f"Loss: {losses.val:.4f} ({losses.avg:.4f})")
+            if sink:
+                it = epoch * len(train_loader) + batch_idx
+                sink.add_scalar("train/loss", losses.val, it)
+                sink.add_scalar("train/view1_loss", v1_loss.val, it)
+                sink.add_scalar("train/view2_loss", v2_loss.val, it)
     _drain(pending, update)
     if is_master:
         runtime_h = (time.time() - start) / 3600
@@ -173,11 +186,14 @@ def contrastive_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
         append_metric_line(cfg.OUTPUT_PATH, "train_loss_and_acc.txt",
                            f"epoch:{epoch} runtime:{round(runtime_h, 2)} "
                            f"{losses.avg:.4f}")
+        if sink:
+            sink.add_scalar("epoch/train_loss", losses.avg, epoch)
     return state, losses.avg
 
 
 def ubernce_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
-                        base_key, is_master: bool = True, mesh=None):
+                        base_key, is_master: bool = True, mesh=None,
+                        sink=None):
     """One MoCo/UberNCE epoch (reference UberNCE_train_epoch,
     online_train.py:60-133): two augmented clips (the triplet loader's
     anchor/positive pair) through query/momentum encoders, queue logits,
@@ -207,6 +223,11 @@ def ubernce_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
             print(f"Train Epoch: {epoch} [{losses.count}]\t"
                   f"Loss: {losses.val:.4f} ({losses.avg:.4f})  "
                   f"Top1:{top1.val:.4f} Top5:{top5.val:.4f}")
+            if sink:
+                it = epoch * len(train_loader) + batch_idx
+                sink.add_scalar("train/loss", losses.val, it)
+                sink.add_scalar("train/top1", top1.val, it)
+                sink.add_scalar("train/top5", top5.val, it)
     _drain(pending, update)
     if is_master:
         runtime_h = (time.time() - start) / 3600
@@ -214,11 +235,14 @@ def ubernce_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
         append_metric_line(cfg.OUTPUT_PATH, "train_loss_and_acc.txt",
                            f"epoch:{epoch} runtime:{round(runtime_h, 2)} "
                            f"{losses.avg:.4f}")
+        if sink:
+            sink.add_scalar("epoch/train_loss", losses.avg, epoch)
     return state, losses.avg
 
 
 def iterative_cluster_step(state, model, cfg, eval_train_loader,
-                           is_master: bool = True) -> Optional[np.ndarray]:
+                           is_master: bool = True, sink=None,
+                           epoch: int = 0) -> Optional[np.ndarray]:
     """Embed train set -> cluster -> NMI/AMI logs -> vid_clusters.txt
     (reference online_train.py:599-667). Returns labels in dataset order."""
     from sklearn.metrics import (adjusted_mutual_info_score,
@@ -251,6 +275,9 @@ def iterative_cluster_step(state, model, cfg, eval_train_loader,
         print(f"NMI: {nmi:.4f} AMI: {ami:.4f}")
         append_metric_line(cfg.OUTPUT_PATH, "NMIs.txt", f"{nmi:.6f}")
         append_metric_line(cfg.OUTPUT_PATH, "AMIs.txt", f"{ami:.6f}")
+        if sink:
+            sink.add_scalar("cluster/nmi", nmi, epoch)
+            sink.add_scalar("cluster/ami", ami, epoch)
         cluster_file = os.path.join(cfg.OUTPUT_PATH, "vid_clusters.txt")
         write_cluster_labels(cluster_file, labels)
 
@@ -409,8 +436,9 @@ def train(args, cfg) -> None:
             p, s = torch_to_flax(pre["torch_state_dict"], cfg.MODEL.ARCH)
         else:
             p, s = pre.get("params", {}), pre.get("batch_stats", {})
-        params, stats = merge_pretrained(state.params, state.batch_stats,
-                                         p, s, verbose=is_master)
+        params, stats = merge_pretrained(
+            state.params, state.batch_stats, p, s, verbose=is_master,
+            inflate_temporal=bool(cfg.SLOWFAST.CHECKPOINT_INFLATE))
         state = state.replace(params=params, batch_stats=stats)
 
     if payload is not None:
@@ -426,6 +454,11 @@ def train(args, cfg) -> None:
     base_key = jax.random.key(1234)
     vector = bool(getattr(args, "vector", False))
 
+    from ..utils.metrics_sink import MetricsSink
+
+    sink = MetricsSink(os.path.join(cfg.OUTPUT_PATH, "metrics"),
+                       enabled=bool(cfg.TRAIN.METRICS_SINK) and is_master)
+
     epoch_fns = {"triplet": triplet_train_epoch,
                  "contrastive": contrastive_train_epoch,
                  "UberNCE": ubernce_train_epoch}
@@ -439,7 +472,7 @@ def train(args, cfg) -> None:
                 and (epoch - cfg.ITERCLUSTER.WARMUP_EPOCHS)
                 % cfg.ITERCLUSTER.INTERVAL == 0):
             iterative_cluster_step(state, model, cfg, eval_train_loader,
-                                   is_master)
+                                   is_master, sink=sink, epoch=epoch)
             cfg.DATASET.CLUSTER_PATH = os.path.join(cfg.OUTPUT_PATH,
                                                     "vid_clusters.txt")
             cfg.DATASET.TARGET_TYPE_T = "cluster_label"
@@ -447,9 +480,13 @@ def train(args, cfg) -> None:
 
         train_loader.set_epoch(epoch)
         state, _ = epoch_fn(state, step_fn, train_loader, cfg, epoch,
-                            base_key, is_master, mesh=mesh)
+                            base_key, is_master, mesh=mesh, sink=sink)
 
         acc, topk = validate(state, model, cfg, val_loader, epoch, is_master)
+        if sink.enabled:
+            sink.add_scalar("val/triplet_acc", acc, epoch)
+            for k, v in (topk or {}).items():
+                sink.add_scalar(f"val/top{k}", v, epoch)
 
         # every-10-epochs global retrieval drives is_best
         # (reference online_train.py:736-746)
@@ -459,6 +496,9 @@ def train(args, cfg) -> None:
                                         eval_val_loader, epoch=epoch,
                                         is_master_proc=is_master)
             top1 = retr.get(1, 0.0)
+            if sink.enabled:
+                for k, v in retr.items():
+                    sink.add_scalar(f"retrieval/top{k}", v, epoch)
             is_best = top1 > best_prec1
             best_prec1 = max(best_prec1, top1)
 
@@ -477,6 +517,7 @@ def train(args, cfg) -> None:
                 # exactly where _resolve_checkpoint looks on resume
                 save_checkpoint(args.checkpoint_path, cfg.MODEL.ARCH,
                                 state, epoch, best_prec1, is_best=False)
+    sink.close()
     return state
 
 
