@@ -99,6 +99,7 @@ def main():
     peak = chip_peak_tflops(jax.devices()[0].device_kind)
     peak_clips = peak * 1e12 / flops_per_clip
     mfu = tflops / peak
+    train = train_step_bench(flops_per_clip, peak)
     print(json.dumps({
         "metric": "r3d18_embed_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
@@ -115,7 +116,62 @@ def main():
         "peak_clips_per_sec": round(peak_clips, 1),
         "device_kind": jax.devices()[0].device_kind,
         "batch": batch,
+        # triplet TRAIN step at the reference's Kinetics batch (B=104,
+        # fwd+bwd+SGD+mining; 3x-forward FLOP convention) — the number the
+        # round-3 train-MFU campaign tracks (PERF.md 'Training throughput')
+        **train,
     }))
+
+
+def train_step_bench(flops_per_clip: float, peak_tflops: float,
+                     batch: int = None):
+    """Time the jitted triplet train step (R3D-18 bf16, anchor+positive =
+    2B clips/step) at the reference Kinetics batch; returns JSON fields."""
+    import numpy as np
+
+    from video_similarity_search_tpu.config import get_cfg
+    from video_similarity_search_tpu.models import model_selector
+    from video_similarity_search_tpu.train import (create_train_state,
+                                                   make_triplet_train_step)
+
+    batch = batch or int(os.environ.get("BENCH_TRAIN_BATCH", "104"))
+    t, s = 16, 128
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "3dresnet"
+    cfg.RESNET.MODEL_DEPTH = 18
+    cfg.RESNET.NO_MAX_POOl = True
+    cfg.DATASET.SAMPLING_STRATEGY = "random_semi_hard"
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    model = model_selector(cfg)
+    sample = jnp.zeros((2, t, s, s, 3), jnp.bfloat16)
+    state = create_train_state(jax.random.key(0), model, cfg, sample)
+    step = make_triplet_train_step(cfg)
+
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "anchor": jnp.asarray(rng.normal(size=(batch, t, s, s, 3)) * 0.3,
+                              jnp.bfloat16),
+        "positive": jnp.asarray(rng.normal(size=(batch, t, s, s, 3)) * 0.3,
+                                jnp.bfloat16),
+        "targets": jnp.asarray(np.tile(rng.integers(0, 40, batch), 2),
+                               jnp.int32),
+    }
+    state, m = step(state, batch_data, jax.random.key(1))  # compile
+    float(m["loss"])
+    best = float("inf")
+    for i in range(4):
+        t0 = time.perf_counter()
+        state, m = step(state, batch_data, jax.random.key(2 + i))
+        float(m["loss"])  # materialize (axon: block_until_ready unreliable)
+        best = min(best, time.perf_counter() - t0)
+    clips = 2 * batch / best
+    train_tflops = clips * 3 * flops_per_clip / 1e12  # fwd+bwd ~ 3x fwd
+    return {
+        "train_clips_per_sec": round(clips, 1),
+        "train_step_ms": round(best * 1e3, 1),
+        "train_mfu": round(train_tflops / peak_tflops, 4),
+        "train_batch": batch,
+    }
 
 
 if __name__ == "__main__":

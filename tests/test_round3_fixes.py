@@ -438,3 +438,69 @@ def test_kinetics_unknown_label_warns(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "WARNING" in out and "parkour" in out
     assert [s["label"] for s in samples] == [0, 1, -1]
+
+
+# ---------------------------------------------------------------------------
+# TPU.HOST_RRC: host-side RandomResizedCrop fused into the native decode
+# ---------------------------------------------------------------------------
+
+def test_native_rrc_matches_cv2_fallback(tmp_path):
+    """The native in-decode RRC window matches the cv2 crop+resize fallback
+    within interpolation tolerance, clip-consistently across frames."""
+    import cv2  # noqa: F401 — fallback dependency
+    from PIL import Image
+
+    from video_similarity_search_tpu.data import native_loader
+    from video_similarity_search_tpu.data.datasets import ClipReader
+
+    if not native_loader.available():
+        pytest.skip("native loader unavailable")
+
+    rng = np.random.default_rng(0)
+    vdir = tmp_path / "vid"
+    vdir.mkdir()
+    paths = []
+    for i in range(1, 5):
+        img = rng.integers(0, 255, size=(120, 160, 3)).astype(np.uint8)
+        # smooth it so JPEG+bilinear differences stay small
+        img = (img.astype(np.float32) * 0.2 + 100).astype(np.uint8)
+        p = str(vdir / f"image_{i:05d}.jpg")
+        Image.fromarray(img).save(p, quality=95)
+        paths.append(p)
+
+    box = (10.0, 20.0, 90.0, 100.0)
+    got = native_loader.decode_frames_rrc(paths, *box, 64)
+    assert got.shape == (4, 64, 64, 3)
+
+    reader = ClipReader({}, buffer_size=64, eval_mode=False, rrc_size=64)
+    frames = reader._read(reader.loader, str(vdir), [1, 2, 3, 4])
+    want = reader._crop_resize_frames(frames, box, 64)
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert np.mean(diff) < 6.0, np.mean(diff)  # interpolation-convention slack
+
+
+def test_rrc_reader_shapes_and_consistency(synth, tmp_path):
+    """ClipReader(rrc_size=...) emits (T, S, S, 3) clips directly and
+    samples ONE box per clip (frames crop-consistent)."""
+    from video_similarity_search_tpu.data.datasets import ClipReader
+
+    vid_path, _ = synth
+    import os as _os
+
+    label = sorted(_os.listdir(vid_path))[0]
+    vid = sorted(_os.listdir(_os.path.join(vid_path, label)))[0]
+    sample = {"video": _os.path.join(vid_path, label, vid), "num_frames": 24}
+    reader = ClipReader({}, buffer_size=16, eval_mode=False,
+                        rrc_size=16, rng=np.random.default_rng(0))
+    clip = reader.load(sample, list(range(1, 9)))
+    assert clip.shape == (8, 16, 16, 3)
+    assert clip.dtype == np.uint8
+
+
+def test_driver_host_rrc_end_to_end(synth, tmp_path):
+    """TPU.HOST_RRC trains end-to-end: clips cross at SAMPLE_SIZE and the
+    device augmentation skips its crop (pre_cropped jit variant)."""
+    cfg = _base_cfg(synth, tmp_path)
+    cfg.TPU.HOST_RRC = True
+    state = train(_args(), cfg)
+    assert int(np.asarray(state.step)) > 0

@@ -153,6 +153,12 @@ def _build_default_cfg() -> ConfigNode:
     _C.TPU.DONATE_STATE = True
     _C.TPU.PREFETCH_DEPTH = 2  # host->HBM double buffering depth
     _C.TPU.STEM_S2D = False  # space-to-depth 3dresnet stem (1.3x stem MFU)
+    # host-side RandomResizedCrop fused into the native JPEG decode (the
+    # reference's own protocol, spatial_transforms.py:171-225): train clips
+    # cross host->device at SAMPLE_SIZE instead of the 2x device-crop
+    # buffer — 4x fewer transfer bytes and ~25% less host decode work;
+    # the device augmentation then skips its crop+resize
+    _C.TPU.HOST_RRC = False
     _C.TPU.PROFILE_DIR = ""  # capture a jax.profiler trace of epoch-0 steps
     _C.TPU.REMAT = False  # checkpoint residual blocks (big-batch training)
 

@@ -178,17 +178,20 @@ def _blur_clip(frames: Array, size: int = 15, sigma: float = 2.0) -> Array:
 
 def _augment_one(clip_u8: Array, key, out_size: int,
                  jitter_strength, hue_strength,
-                 p_jitter: float, p_gray: float, p_blur: float) -> Array:
+                 p_jitter: float, p_gray: float, p_blur: float,
+                 pre_cropped: bool = False) -> Array:
     """(T, H, W, C) uint8 -> (T, S, S, C) float32 in [0, 1]-ish (pre-norm)."""
     keys = jax.random.split(key, 8)
     t, h, w, c = clip_u8.shape
     x = clip_u8.astype(jnp.float32) / 255.0
 
-    # RandomResizedCrop (scale 0.25-1.0, ratio 0.75-1.333, data_loader.py:100-102)
-    top, left, ch, cw = _sample_crop(
-        keys[0], h, w, (TRAIN_CROP_MIN_SCALE, 1.0),
-        (TRAIN_CROP_MIN_RATIO, 1.0 / TRAIN_CROP_MIN_RATIO))
-    x = _resized_crop(x, top, left, ch, cw, out_size)
+    if not pre_cropped:
+        # RandomResizedCrop (scale 0.25-1.0, ratio 0.75-1.333,
+        # data_loader.py:100-102)
+        top, left, ch, cw = _sample_crop(
+            keys[0], h, w, (TRAIN_CROP_MIN_SCALE, 1.0),
+            (TRAIN_CROP_MIN_RATIO, 1.0 / TRAIN_CROP_MIN_RATIO))
+        x = _resized_crop(x, top, left, ch, cw, out_size)
 
     # horizontal flip p=0.5
     do_flip = jax.random.bernoulli(keys[1])
@@ -222,19 +225,23 @@ def _augment_one(clip_u8: Array, key, out_size: int,
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "dataset"))
+@functools.partial(jax.jit, static_argnames=("out_size", "dataset",
+                                             "pre_cropped"))
 def train_augment(clips_u8: Array, key, out_size: int,
-                  dataset: str = "ucf101") -> Array:
+                  dataset: str = "ucf101",
+                  pre_cropped: bool = False) -> Array:
     """(B, T, H, W, C) uint8 -> (B, T, S, S, C) normalized float32.
 
     One fused program: per-clip param draws, crop+resize, flip, jitter,
     gray, blur, normalize (the reference's train spatial_transform chain,
-    datasets/data_loader.py:96-108)."""
+    datasets/data_loader.py:96-108). ``pre_cropped`` (TPU.HOST_RRC): the
+    host already applied RandomResizedCrop inside the native decode, so
+    the device chain skips its crop+resize (input is already S x S)."""
     b = clips_u8.shape[0]
     keys = jax.random.split(key, b)
     aug = jax.vmap(
         lambda clip, k: _augment_one(clip, k, out_size, 0.5, 0.5,
-                                     0.8, 0.2, 0.2)
+                                     0.8, 0.2, 0.2, pre_cropped=pre_cropped)
     )(clips_u8, keys)
     mean, std = normalization_constants(dataset, clips_u8.shape[-1])
     return (aug - mean) / std

@@ -67,19 +67,116 @@ def _resize_frames(frames: List[np.ndarray], size: Tuple[int, int],
 
 
 class ClipReader:
-    """Decode + buffer-resize one clip, with channel extension logic."""
+    """Decode + buffer-resize one clip, with channel extension logic.
+
+    ``rrc_size``: host-side RandomResizedCrop mode (``TPU.HOST_RRC``) — the
+    reference's own protocol (spatial_transforms.py:171-225 runs RRC on
+    dataloader workers): one crop box per clip sampled here in
+    original-image coordinates and fused into the native decode, so the
+    produced clip is already (T, rrc_size, rrc_size, C). 4x fewer bytes
+    cross host->device than the 2x device-crop buffer, and the device
+    augmentation skips its resize (``train_augment(pre_cropped=True)``)."""
 
     def __init__(self, channel_ext: Dict[str, Tuple[str, object]],
                  buffer_size: int, eval_mode: bool,
                  image_name_formatter=default_image_name_formatter,
                  prob_pos_channel_replace: float = 0.25,
-                 rng: Optional[np.random.Generator] = None):
+                 rng: Optional[np.random.Generator] = None,
+                 rrc_size: Optional[int] = None):
         self.loader = VideoLoader(image_name_formatter)
         self.channel_ext = channel_ext or {}
         self.buffer_size = buffer_size
         self.eval_mode = eval_mode
         self.prob_replace = prob_pos_channel_replace
         self.rng = rng or np.random.default_rng()
+        self.rrc_size = None if eval_mode else rrc_size
+
+    # -- host RandomResizedCrop ------------------------------------------
+    def _sample_rrc_box(self, h: int, w: int):
+        """torchvision RandomResizedCrop.get_params (reference
+        spatial_transforms.py:171-225: scale 0.25-1.0, ratio 3/4-4/3,
+        10 attempts then center fallback). Returns (top, left, ch, cw)
+        floats in original-pixel coords."""
+        import math
+
+        area = h * w
+        for _ in range(10):
+            target_area = area * self.rng.uniform(0.25, 1.0)
+            aspect = math.exp(self.rng.uniform(math.log(3 / 4),
+                                               math.log(4 / 3)))
+            cw = math.sqrt(target_area * aspect)
+            ch = math.sqrt(target_area / aspect)
+            if cw <= w and ch <= h:
+                return (self.rng.uniform(0, h - ch),
+                        self.rng.uniform(0, w - cw), ch, cw)
+        # fallback: largest center crop within the ratio bounds
+        in_ratio = w / h
+        if in_ratio < 3 / 4:
+            cw, ch = float(w), w / (3 / 4)
+        elif in_ratio > 4 / 3:
+            ch, cw = float(h), h * (4 / 3)
+        else:
+            ch, cw = float(h), float(w)
+        return ((h - ch) / 2, (w - cw) / 2, ch, cw)
+
+    def _crop_resize_frames(self, frames: List[np.ndarray], box,
+                            out: int) -> np.ndarray:
+        """cv2 fallback for the RRC window (native path does it in-decode)."""
+        import cv2
+
+        top, left, ch, cw = box
+        y0, x0 = int(round(top)), int(round(left))
+        y1, x1 = int(round(top + ch)), int(round(left + cw))
+        res = []
+        for f in frames:
+            if f.ndim == 2:
+                f = f[..., None]
+            win = f[max(0, y0):max(1, y1), max(0, x0):max(1, x1)]
+            r = cv2.resize(win, (out, out), interpolation=cv2.INTER_LINEAR)
+            if r.ndim == 2:
+                r = r[..., None]
+            res.append(r)
+        return np.stack(res, 0)
+
+    def _read_rgb_rrc(self, video_path: str, frame_indices,
+                      box) -> np.ndarray:
+        """RGB clip through the native RRC decode (crop fused into decode),
+        cv2 fallback on failure."""
+        from . import native_loader
+
+        if native_loader.available():
+            import os as _os
+
+            fmt = self.loader.image_name_formatter
+            paths, last = [], None
+            for i in frame_indices:
+                p = _os.path.join(video_path, fmt(i))
+                if _os.path.exists(p):
+                    last = p
+                elif last is None:
+                    break
+                paths.append(p if _os.path.exists(p) else last)
+            if last is not None and len(paths) == len(frame_indices):
+                try:
+                    top, left, ch, cw = box
+                    return native_loader.decode_frames_rrc(
+                        paths, top, left, ch, cw, self.rrc_size)
+                except RuntimeError:
+                    pass
+        frames = self._read(self.loader, video_path, frame_indices)
+        return self._crop_resize_frames(frames, box, self.rrc_size)
+
+    def _frame_dims(self, video_path: str, frame_index: int):
+        """Header-only size read of one frame (PIL lazy open)."""
+        import os as _os
+
+        from PIL import Image
+
+        p = _os.path.join(video_path,
+                          self.loader.image_name_formatter(frame_index))
+        with Image.open(p) as im:
+            w, h = im.size
+        return h, w
 
     def _read(self, loader, path, frame_indices) -> List[np.ndarray]:
         frames = loader(path, frame_indices)
@@ -126,10 +223,41 @@ class ClipReader:
         return self._buffered(self._read(self.loader, video_path,
                                          frame_indices))
 
+    def _load_rrc(self, sample: dict, frame_indices,
+                  use_channel_ext: bool, pos_channel_replace: bool
+                  ) -> np.ndarray:
+        """Host-RRC load: one crop box per clip applied to the RGB decode
+        AND every extension/replacement view -> (T, rrc, rrc, C) uint8."""
+        h, w = self._frame_dims(sample["video"], frame_indices[0])
+        box = self._sample_rrc_box(h, w)
+        clip = None
+        if pos_channel_replace and self.channel_ext:
+            if self.rng.random() < self.prob_replace:
+                key = self.rng.choice(list(self.channel_ext))
+                _, ch_loader = self.channel_ext[key]
+                ch_frames = self._read(ch_loader, sample[key], frame_indices)
+                arr = self._crop_resize_frames(ch_frames, box, self.rrc_size)
+                if key != "salient" or arr.mean() / 255.0 >= \
+                        SALIENT_MASK_THRESHOLD:
+                    clip = np.repeat(arr[..., :1], 3, axis=-1)
+        if clip is None:
+            clip = self._read_rgb_rrc(sample["video"], frame_indices, box)
+            if use_channel_ext and not pos_channel_replace:
+                for key, (_, ch_loader) in self.channel_ext.items():
+                    ch_frames = self._read(ch_loader, sample[key],
+                                           frame_indices)
+                    ext = self._crop_resize_frames(ch_frames, box,
+                                                   self.rrc_size)
+                    clip = np.concatenate([clip, ext[..., :1]], axis=-1)
+        return clip
+
     def load(self, sample: dict, frame_indices: Sequence[int],
              use_channel_ext: bool = True,
              pos_channel_replace: bool = False) -> np.ndarray:
         """-> (T, buffer, buffer, C) uint8 (C = 3 + #extensions or 3)."""
+        if self.rrc_size:
+            return self._load_rrc(sample, frame_indices, use_channel_ext,
+                                  pos_channel_replace)
         clip = None
         if pos_channel_replace and self.channel_ext:
             if self.rng.random() < self.prob_replace:

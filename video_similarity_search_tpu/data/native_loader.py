@@ -28,14 +28,20 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB,
-           _SRC, "-ljpeg", "-lpthread"]
-    try:
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=180)
-    except (OSError, subprocess.TimeoutExpired):
-        return False
-    return proc.returncode == 0 and os.path.exists(_LIB)
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB,
+            _SRC, "-ljpeg", "-lpthread"]
+    # -march=native vectorizes the fixed-point resize; the .so is always
+    # (re)built on the host that runs it, so native tuning is safe — but
+    # fall back to the portable build if the toolchain rejects it
+    for cmd in ([*base[:2], "-march=native", *base[2:]], base):
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=180)
+        except (OSError, subprocess.TimeoutExpired):
+            return False
+        if proc.returncode == 0 and os.path.exists(_LIB):
+            return True
+    return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -56,6 +62,13 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.vss_decode_frames.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+            ]
+            lib.vss_decode_frames_rrc.restype = ctypes.c_int
+            lib.vss_decode_frames_rrc.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                ctypes.c_float, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
             ]
             _lib = lib
         except OSError:
@@ -85,4 +98,29 @@ def decode_frames(paths: List[str], out_size: int, eval_mode: bool,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), n_threads)
     if rc != 0:
         raise RuntimeError(f"native decode failed for {paths[-rc - 1]!r}")
+    return out
+
+
+def decode_frames_rrc(paths: List[str], top: float, left: float,
+                      crop_h: float, crop_w: float, out_size: int,
+                      n_threads: int = 4) -> np.ndarray:
+    """Decode JPEG ``paths`` with a clip-consistent RandomResizedCrop
+    window (original-pixel coords) -> (T, out_size, out_size, 3) uint8.
+
+    One GIL-free C call per clip: the crop+resize happens inside the
+    decode (DCT-scaled when the window allows), so the host never
+    materializes the full-size frame buffer — 4x fewer output bytes than
+    decoding to the 2x train buffer and cropping on device."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    n = len(paths)
+    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.vss_decode_frames_rrc(
+        c_paths, n, float(top), float(left), float(crop_h), float(crop_w),
+        out_size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        n_threads)
+    if rc != 0:
+        raise RuntimeError(f"native rrc decode failed for {paths[-rc - 1]!r}")
     return out

@@ -287,6 +287,7 @@ def build_data_loader(split: str, cfg, is_master_proc: bool = True,
                                     else sample_size),
         eval_mode=not train_aug,
         prob_pos_channel_replace=cfg.DATASET.PROB_POS_CHANNEL_REPLACE,
+        rrc_size=sample_size if (train_aug and cfg.TPU.HOST_RRC) else None,
     )
 
     if triplets:

@@ -71,7 +71,8 @@ def _device_batch(batch, cfg, key, train: bool, mesh=None):
         clips = sharded[name]
         if train:
             out[name] = train_augment(clips, keys[i], cfg.DATA.SAMPLE_SIZE,
-                                      dataset=dataset)
+                                      dataset=dataset,
+                                      pre_cropped=bool(cfg.TPU.HOST_RRC))
         else:
             out[name] = normalize_only(clips, dataset=dataset)
     out["targets"] = sharded["targets"]
