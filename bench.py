@@ -99,7 +99,13 @@ def main():
     peak = chip_peak_tflops(jax.devices()[0].device_kind)
     peak_clips = peak * 1e12 / flops_per_clip
     mfu = tflops / peak
+    # triplet train step at the reference's Kinetics batch (104, parity
+    # tracking) AND at the measured per-chip optimum (64 -> 2B=128 clips
+    # tiles the MXU; the sweep is jagged, PERF.md round-3 table)
     train = train_step_bench(flops_per_clip, peak)
+    train_opt = {k.replace("train_", "train_opt_"): v for k, v in
+                 train_step_bench(flops_per_clip, peak, batch=int(
+                     os.environ.get("BENCH_TRAIN_OPT_BATCH", "64"))).items()}
     print(json.dumps({
         "metric": "r3d18_embed_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
@@ -116,10 +122,12 @@ def main():
         "peak_clips_per_sec": round(peak_clips, 1),
         "device_kind": jax.devices()[0].device_kind,
         "batch": batch,
-        # triplet TRAIN step at the reference's Kinetics batch (B=104,
-        # fwd+bwd+SGD+mining; 3x-forward FLOP convention) — the number the
-        # round-3 train-MFU campaign tracks (PERF.md 'Training throughput')
+        # triplet TRAIN step (fwd+bwd+SGD+mining; 3x-forward FLOP
+        # convention): train_* at the reference Kinetics B=104 (parity
+        # number the round-3 campaign tracks), train_opt_* at the per-chip
+        # optimum B=64 (PERF.md 'Training throughput')
         **train,
+        **train_opt,
     }))
 
 
