@@ -44,10 +44,13 @@ from video_similarity_search_tpu.utils.flops import (chip_peak_tflops,
 
 
 def main():
-    # batch 80: measured optimum on v5e — the sweep is jagged
-    # (64: 859, 72: 640, 80: 904, 88: 755, 96: 815, 160: 905 clips/s;
-    # PERF.md) and 80 hits the best XLA tiling at tractable compile time
-    batch = int(os.environ.get("BENCH_BATCH", "80"))
+    # batch 256: round-3 optimum on v5e. The sweep is jagged at small
+    # batches (64: 859, 80: 904, 128: 979 clips/s) then JUMPS once the
+    # flattened batch-time dim lets XLA pack multiple output positions
+    # onto the MXU lanes of the 64-channel stages: 256: 1310, 384: 1319,
+    # 512: 1322 clips/s (74-75% MFU — PERF.md round-3 table). 256 sits on
+    # the plateau at the smallest compile time.
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
     t, s = 16, 128  # benchmark clip shape (SURVEY §3.5)
     # stem_s2d (space-to-depth stem) measured 1.31x on the isolated stem
@@ -102,10 +105,14 @@ def main():
     # triplet train step at the reference's Kinetics batch (104, parity
     # tracking) AND at the measured per-chip optimum (64 -> 2B=128 clips
     # tiles the MXU; the sweep is jagged, PERF.md round-3 table)
-    train = train_step_bench(flops_per_clip, peak)
-    train_opt = {k.replace("train_", "train_opt_"): v for k, v in
-                 train_step_bench(flops_per_clip, peak, batch=int(
-                     os.environ.get("BENCH_TRAIN_OPT_BATCH", "64"))).items()}
+    if os.environ.get("BENCH_SKIP_TRAIN"):  # embed-only sweeps
+        train, train_opt = {}, {}
+    else:
+        train = train_step_bench(flops_per_clip, peak)
+        train_opt = {k.replace("train_", "train_opt_"): v for k, v in
+                     train_step_bench(flops_per_clip, peak, batch=int(
+                         os.environ.get("BENCH_TRAIN_OPT_BATCH", "64")
+                     )).items()}
     print(json.dumps({
         "metric": "r3d18_embed_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
@@ -113,10 +120,12 @@ def main():
         "vs_baseline": round(mfu, 4),  # fraction of chip bf16 roofline
         "tflops_per_sec": round(tflops, 2),
         "mfu": round(mfu, 4),
-        # R3D-18's realistic MXU ceiling: 52% of FLOPs are 64-channel
-        # stage-1 convs that can only fill half the 128-wide MXU
-        # (derivation in PERF.md) — mfu/ceiling is the implementation grade
-        "architectural_ceiling_mfu": 0.58,
+        # measured MFU plateau of the batch sweep (256/384/512 all land
+        # 74-75%): the round-2 "58% architectural ceiling" model (output
+        # channels alone fill the MXU lanes) is FALSIFIED at large batch —
+        # XLA packs additional output positions onto the lanes of the
+        # 64-channel stages. Revised derivation in PERF.md.
+        "measured_mfu_plateau": 0.747,
         "flops_per_clip_g": round(flops_per_clip / 1e9, 2),
         "peak_tflops": peak,
         "peak_clips_per_sec": round(peak_clips, 1),

@@ -26,6 +26,11 @@ if "collective_call_terminate" not in flags:
     flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
               " --xla_cpu_collective_call_terminate_timeout_seconds=600")
 os.environ["XLA_FLAGS"] = flags
+# Persistent XLA compile cache: the suite's wall-clock on the 1-core box
+# is dominated by CPU XLA compiles (~29 min cold); with the cache warm a
+# full run drops severalfold. Safe: entries are keyed by HLO hash.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache_cpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax  # noqa: E402
 

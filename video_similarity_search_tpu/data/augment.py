@@ -256,6 +256,81 @@ def normalize_only(clips_u8: Array, dataset: str = "ucf101") -> Array:
 
 
 # ---------------------------------------------------------------------------
+# CoCLR leaf transforms (reference coclr_utils/augmentation.py:16-230)
+# ---------------------------------------------------------------------------
+
+def pad_clip(clips: Array, pad: int) -> Array:
+    """Padding (reference augmentation.py:16-21, ImageOps.expand border
+    fill 0): zero-pad the spatial dims of (B, T, H, W, C) clips."""
+    return jnp.pad(clips, ((0, 0), (0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("size", "method"))
+def scale_clip(clips: Array, size, method: str = "cubic") -> Array:
+    """Scale (reference augmentation.py:24-45): short-edge resize when
+    ``size`` is an int (no-op if the short edge already matches), exact
+    (h, w) otherwise. Bicubic like the reference's Image.BICUBIC."""
+    b, t, h, w, c = clips.shape
+    if isinstance(size, int):
+        if (w <= h and w == size) or (h <= w and h == size):
+            return clips
+        if w < h:
+            ow, oh = size, int(size * h / w)
+        else:
+            oh, ow = size, int(size * w / h)
+    else:
+        oh, ow = size
+    dtype = clips.dtype
+    out = jax.image.resize(clips.astype(jnp.float32), (b, t, oh, ow, c),
+                           method=method)
+    if jnp.issubdtype(dtype, jnp.integer):
+        out = jnp.clip(jnp.round(out), 0, 255)
+    return out.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "consistent", "seq_len"))
+def random_gray_clip(clips: Array, key, p: float = 0.5,
+                     consistent: bool = True, seq_len: int = 0) -> Array:
+    """RandomGray (reference augmentation.py:182-219): channel SPLITTING —
+    one randomly chosen channel replicated to all three — applied with
+    probability ``p`` per clip (``consistent``), per frame, or per
+    ``seq_len`` block of frames, exactly the reference's three modes."""
+    b, t = clips.shape[0], clips.shape[1]
+    if consistent and seq_len == 0:
+        n = b
+        expand = (slice(None), None, None, None, None)
+    elif seq_len == 0:
+        n = b * t
+        expand = (slice(None), None, None, None)
+    else:
+        n = b * ((t + seq_len - 1) // seq_len)
+        expand = None  # handled below
+    k_do, k_ch = jax.random.split(key)
+    do = jax.random.uniform(k_do, (n,)) < p
+    channel = jax.random.randint(k_ch, (n,), 0, 3)
+
+    if seq_len:
+        # one draw per seq_len block, broadcast over the block's frames
+        blocks = (t + seq_len - 1) // seq_len
+        do = jnp.repeat(do.reshape(b, blocks), seq_len, axis=1)[:, :t]
+        channel = jnp.repeat(channel.reshape(b, blocks), seq_len,
+                             axis=1)[:, :t]
+        do = do.reshape(b * t)
+        channel = channel.reshape(b * t)
+        expand = (slice(None), None, None, None)
+
+    if consistent and seq_len == 0:
+        flat = clips
+    else:
+        flat = clips.reshape((b * t,) + clips.shape[2:])
+    picked = jnp.take_along_axis(
+        flat, channel[expand].astype(jnp.int32), axis=-1)
+    gray = jnp.repeat(picked, 3, axis=-1)
+    out = jnp.where(do[expand], gray, flat)
+    return out if (consistent and seq_len == 0) else out.reshape(clips.shape)
+
+
+# ---------------------------------------------------------------------------
 # CoCLR clip-transform controllers (reference coclr_utils/augmentation.py)
 # ---------------------------------------------------------------------------
 

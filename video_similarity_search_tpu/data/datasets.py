@@ -151,11 +151,12 @@ class ClipReader:
             paths, last = [], None
             for i in frame_indices:
                 p = _os.path.join(video_path, fmt(i))
-                if _os.path.exists(p):
+                ok = _os.path.exists(p)  # one stat per frame (hot path)
+                if ok:
                     last = p
                 elif last is None:
                     break
-                paths.append(p if _os.path.exists(p) else last)
+                paths.append(p if ok else last)
             if last is not None and len(paths) == len(frame_indices):
                 try:
                     top, left, ch, cw = box
