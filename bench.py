@@ -14,13 +14,12 @@ only falsifiable yardstick — the chip's own bf16 roofline:
     peak_clips_per_sec      = chip bf16 peak TFLOP/s / flops_per_clip
     vs_baseline             = measured clips/s / peak_clips_per_sec  (= MFU)
 
-For scale: v5e peak (197 TF/s) bounds this model at ~1,772 clips/s/chip,
-so the earlier "10,000 clips/s" target (5x a 2,000 clips/s A100 guess)
-exceeded the chip's physics by ~5.6x. An A100 (312 TF/s peak) running the
-same model at a typical well-tuned 40% MFU gives ~1,120 clips/s — i.e.
-v5e parity with A100 needs ~63% MFU, and every MFU point above that is a
-per-chip win. The JSON line reports clips/s, TFLOP/s, and MFU so the
-driver log records all three.
+For scale: v5e peak (197 TF/s) bounds this model at ~1,772 clips/s/chip.
+An A100 (312 TF/s peak) at a typical well-tuned 40% MFU gives ~1,120
+clips/s — the round-3 default (batch 256, ~1,310 clips/s, 74% MFU) puts
+ONE v5e chip 1.17x ahead of that A100. The JSON line reports clips/s,
+TFLOP/s, and MFU plus the B=104/B=64 triplet TRAIN step points so the
+driver log records the full picture.
 """
 
 import json

@@ -19,7 +19,11 @@ def _run(args, timeout=500):
 import pytest
 
 
-@pytest.mark.parametrize("train_what,epochs", [("last", 2), ("ft", 1)])
+@pytest.mark.parametrize("train_what,epochs", [
+    ("last", 2),
+    pytest.param("ft", 1, marks=pytest.mark.slow),  # ft re-compiles the
+    # full-backbone step (~2 min); the 'last' param keeps the CLI covered
+])
 def test_coclr_classify_training_smoke(tmp_path, train_what, epochs):
     """Linear-probe / finetune epochs on synthetic frames: CE loss trains,
     a best checkpoint lands; 'ft' exercises the lr/10 backbone group
