@@ -16,6 +16,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from video_similarity_search_tpu.utils.compile_cache import \
+    enable_compile_cache
+
+enable_compile_cache()
+
 
 def build_parser():
     parser = argparse.ArgumentParser("coclr_classify")

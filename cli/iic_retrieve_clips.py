@@ -13,6 +13,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from video_similarity_search_tpu.utils.compile_cache import \
+    enable_compile_cache
+
+enable_compile_cache()
+
 
 def extract_features(model, state, cfg, dataset, feature_dir, split):
     import jax.numpy as jnp

@@ -16,6 +16,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from video_similarity_search_tpu.utils.compile_cache import \
+    enable_compile_cache
+
+enable_compile_cache()
+
 from video_similarity_search_tpu.config import arg_parser, load_config
 from video_similarity_search_tpu.parallel import initialize_distributed
 from video_similarity_search_tpu.train.driver import train

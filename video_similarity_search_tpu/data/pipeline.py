@@ -327,11 +327,17 @@ def build_data_loader(split: str, cfg, is_master_proc: bool = True,
             split=ds_split,
         )
         collate = collate_videos
-        # 6x eval batch (reference datasets/data_loader.py:300-313)
+        # 6x eval batch (reference datasets/data_loader.py:300-313),
+        # raised to the v5e conv packing plateau (>=256 clips/step, PERF.md
+        # round-3 sweep: +35% embed throughput) when the dataset is big
+        # enough to fill it — batch size doesn't change eval results
         default_bsz = (cfg.TRAIN.BATCH_SIZE if split == "train"
                        else cfg.VAL.BATCH_SIZE)
-        bsz = batch_size or (default_bsz * 6 if not cfg.TRAIN.EVAL_BATCH_SIZE
-                             else cfg.TRAIN.EVAL_BATCH_SIZE)
+        if cfg.TRAIN.EVAL_BATCH_SIZE:
+            bsz = batch_size or cfg.TRAIN.EVAL_BATCH_SIZE
+        else:
+            bsz = batch_size or min(max(default_bsz * 6, 256),
+                                    max(len(samples), default_bsz * 6))
         shuffle = False if req_train_shuffle is None else req_train_shuffle
         dl = drop_last if drop_last is not None else False
 
