@@ -504,3 +504,24 @@ def test_driver_host_rrc_end_to_end(synth, tmp_path):
     cfg.TPU.HOST_RRC = True
     state = train(_args(), cfg)
     assert int(np.asarray(state.step)) > 0
+
+
+def test_driver_host_rrc_with_flow_replace(synth, tmp_path):
+    """TPU.HOST_RRC applies the per-clip crop box to the optical-flow
+    replacement views too (_load_rrc's channel-extension branch): the
+    headline UCF flow config trains end-to-end under host RRC."""
+    from synthetic_data import add_synthetic_flow
+
+    vid_path, ann_path = synth
+    root = os.path.dirname(ann_path)
+    u_root, v_root = add_synthetic_flow(root)
+    cfg = _base_cfg(synth, tmp_path)
+    cfg.TPU.HOST_RRC = True
+    cfg.DATASET.CHANNEL_EXTENSIONS = "optical_u,optical_v"
+    cfg.DATASET.OPTICAL_U_PATH = u_root
+    cfg.DATASET.OPTICAL_V_PATH = v_root
+    cfg.DATASET.POS_CHANNEL_REPLACE = True
+    cfg.DATASET.PROB_POS_CHANNEL_REPLACE = 1.0
+    cfg.DATA.INPUT_CHANNEL_NUM = 3
+    state = train(_args(), cfg)
+    assert int(np.asarray(state.step)) > 0
