@@ -525,3 +525,62 @@ def test_driver_host_rrc_with_flow_replace(synth, tmp_path):
     cfg.DATA.INPUT_CHANNEL_NUM = 3
     state = train(_args(), cfg)
     assert int(np.asarray(state.step)) > 0
+
+
+def test_rrc_box_rescales_to_extension_resolution():
+    """Extension views stored at a DIFFERENT resolution than the RGB
+    frames get the crop box rescaled to their own dims, so every view
+    crops the same relative window (review finding: raw RGB-coordinate
+    slicing on a smaller mask yields an empty/misaligned window)."""
+    from video_similarity_search_tpu.data.datasets import ClipReader
+
+    reader = ClipReader({}, buffer_size=16, eval_mode=False, rrc_size=8)
+    rng = np.random.default_rng(0)
+    # RGB at 120x160; mask at 60x80 (half resolution)
+    rgb = [rng.integers(0, 255, size=(120, 160, 3)).astype(np.uint8)]
+    mask = [(np.arange(60)[:, None] * np.ones(80)).astype(np.uint8)]
+    box = (30.0, 40.0, 60.0, 80.0)  # in RGB coords
+    got_rgb = reader._crop_resize_frames(rgb, box, 8, box_dims=(120, 160))
+    got_mask = reader._crop_resize_frames(mask, box, 8, box_dims=(120, 160))
+    assert got_rgb.shape == (1, 8, 8, 3)
+    assert got_mask.shape == (1, 8, 8, 1)
+    # the mask window is rows 15..45 of the 60-row gradient -> the crop's
+    # mean sits at the center of that band, NOT of the whole mask
+    assert abs(float(got_mask.mean()) - 30.0) < 2.0
+    # an out-of-range RGB-coordinate box on the small mask must not crash
+    tall = reader._crop_resize_frames(mask, (100.0, 140.0, 19.0, 19.0), 8,
+                                      box_dims=(120, 160))
+    assert tall.shape == (1, 8, 8, 1)
+
+
+def test_rrc_missing_leading_frame_degrades_gracefully(synth, tmp_path):
+    """HOST_RRC on a clip whose sampled frames are unreadable degrades to
+    the full-frame resize path instead of crashing the loader worker
+    (review finding: unguarded Image.open in _frame_dims)."""
+    from video_similarity_search_tpu.data.datasets import ClipReader
+
+    vid_path, _ = synth
+    import os as _os
+
+    label = sorted(_os.listdir(vid_path))[0]
+    vid = sorted(_os.listdir(_os.path.join(vid_path, label)))[0]
+    src = _os.path.join(vid_path, label, vid)
+    # a video dir whose frames 1..4 are missing entirely
+    broken = tmp_path / "broken_vid"
+    broken.mkdir()
+    import shutil
+
+    for i in (5, 6, 7, 8):
+        shutil.copy(_os.path.join(src, f"image_{i:05d}.jpg"),
+                    broken / f"image_{i:05d}.jpg")
+    reader = ClipReader({}, buffer_size=16, eval_mode=False, rrc_size=16,
+                        rng=np.random.default_rng(0))
+    # requesting frames 1..4 (all missing): _frame_dims scans past them,
+    # finds nothing readable among the requested ids, and the fallback
+    # VideoLoader path pads from what exists
+    clip = reader.load({"video": str(broken), "num_frames": 8},
+                       [5, 6, 7, 8])
+    assert clip.shape == (4, 16, 16, 3)
+    clip2 = reader.load({"video": str(broken), "num_frames": 8},
+                        [1, 2, 5, 6])
+    assert clip2.shape == (4, 16, 16, 3)

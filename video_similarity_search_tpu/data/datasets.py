@@ -120,18 +120,26 @@ class ClipReader:
         return ((h - ch) / 2, (w - cw) / 2, ch, cw)
 
     def _crop_resize_frames(self, frames: List[np.ndarray], box,
-                            out: int) -> np.ndarray:
-        """cv2 fallback for the RRC window (native path does it in-decode)."""
+                            out: int, box_dims=None) -> np.ndarray:
+        """cv2 fallback for the RRC window (native path does it in-decode).
+
+        ``box`` is in ``box_dims`` = (h, w) coordinates (the RGB frame the
+        box was sampled from); frames stored at a different resolution
+        (e.g. saliency masks) get the box rescaled to their own dims so
+        every view crops the SAME relative window."""
         import cv2
 
         top, left, ch, cw = box
-        y0, x0 = int(round(top)), int(round(left))
-        y1, x1 = int(round(top + ch)), int(round(left + cw))
         res = []
         for f in frames:
             if f.ndim == 2:
                 f = f[..., None]
-            win = f[max(0, y0):max(1, y1), max(0, x0):max(1, x1)]
+            sy = f.shape[0] / box_dims[0] if box_dims else 1.0
+            sx = f.shape[1] / box_dims[1] if box_dims else 1.0
+            y0, x0 = int(round(top * sy)), int(round(left * sx))
+            y1 = int(round((top + ch) * sy))
+            x1 = int(round((left + cw) * sx))
+            win = f[max(0, y0):max(y0 + 1, y1), max(0, x0):max(x0 + 1, x1)]
             r = cv2.resize(win, (out, out), interpolation=cv2.INTER_LINEAR)
             if r.ndim == 2:
                 r = r[..., None]
@@ -139,7 +147,7 @@ class ClipReader:
         return np.stack(res, 0)
 
     def _read_rgb_rrc(self, video_path: str, frame_indices,
-                      box) -> np.ndarray:
+                      box, box_dims=None) -> np.ndarray:
         """RGB clip through the native RRC decode (crop fused into decode),
         cv2 fallback on failure."""
         from . import native_loader
@@ -165,19 +173,27 @@ class ClipReader:
                 except RuntimeError:
                     pass
         frames = self._read(self.loader, video_path, frame_indices)
-        return self._crop_resize_frames(frames, box, self.rrc_size)
+        return self._crop_resize_frames(frames, box, self.rrc_size,
+                                        box_dims)
 
-    def _frame_dims(self, video_path: str, frame_index: int):
-        """Header-only size read of one frame (PIL lazy open)."""
+    def _frame_dims(self, video_path: str, frame_indices):
+        """Header-only size read of the first READABLE frame (PIL lazy
+        open); None when no frame opens — the caller then takes the
+        non-RRC fallback path instead of crashing the loader worker."""
         import os as _os
 
         from PIL import Image
 
-        p = _os.path.join(video_path,
-                          self.loader.image_name_formatter(frame_index))
-        with Image.open(p) as im:
-            w, h = im.size
-        return h, w
+        for i in frame_indices:
+            p = _os.path.join(video_path,
+                              self.loader.image_name_formatter(i))
+            try:
+                with Image.open(p) as im:
+                    w, h = im.size
+                return h, w
+            except (OSError, FileNotFoundError):
+                continue
+        return None
 
     def _read(self, loader, path, frame_indices) -> List[np.ndarray]:
         frames = loader(path, frame_indices)
@@ -224,59 +240,63 @@ class ClipReader:
         return self._buffered(self._read(self.loader, video_path,
                                          frame_indices))
 
-    def _load_rrc(self, sample: dict, frame_indices,
-                  use_channel_ext: bool, pos_channel_replace: bool
-                  ) -> np.ndarray:
-        """Host-RRC load: one crop box per clip applied to the RGB decode
-        AND every extension/replacement view -> (T, rrc, rrc, C) uint8."""
-        h, w = self._frame_dims(sample["video"], frame_indices[0])
-        box = self._sample_rrc_box(h, w)
-        clip = None
-        if pos_channel_replace and self.channel_ext:
-            if self.rng.random() < self.prob_replace:
-                key = self.rng.choice(list(self.channel_ext))
-                _, ch_loader = self.channel_ext[key]
-                ch_frames = self._read(ch_loader, sample[key], frame_indices)
-                arr = self._crop_resize_frames(ch_frames, box, self.rrc_size)
-                if key != "salient" or arr.mean() / 255.0 >= \
-                        SALIENT_MASK_THRESHOLD:
-                    clip = np.repeat(arr[..., :1], 3, axis=-1)
-        if clip is None:
-            clip = self._read_rgb_rrc(sample["video"], frame_indices, box)
-            if use_channel_ext and not pos_channel_replace:
-                for key, (_, ch_loader) in self.channel_ext.items():
-                    ch_frames = self._read(ch_loader, sample[key],
-                                           frame_indices)
-                    ext = self._crop_resize_frames(ch_frames, box,
-                                                   self.rrc_size)
-                    clip = np.concatenate([clip, ext[..., :1]], axis=-1)
-        return clip
-
     def load(self, sample: dict, frame_indices: Sequence[int],
              use_channel_ext: bool = True,
              pos_channel_replace: bool = False) -> np.ndarray:
-        """-> (T, buffer, buffer, C) uint8 (C = 3 + #extensions or 3)."""
+        """-> (T, S, S, C) uint8 (C = 3 + #extensions or 3; S = rrc_size
+        in host-RRC mode, else buffer_size).
+
+        ONE control path for both modes: the replacement-probability draw,
+        salient-mean rejection, and channel-concat logic are shared; only
+        the per-view materialization differs (host-RRC crop window vs
+        plain buffer resize). In host-RRC mode the SAME relative crop
+        window is applied to the RGB decode and to every extension/
+        replacement view (rescaled to each view's native resolution)."""
+        box = box_dims = None
         if self.rrc_size:
-            return self._load_rrc(sample, frame_indices, use_channel_ext,
-                                  pos_channel_replace)
+            box_dims = self._frame_dims(sample["video"], frame_indices)
+            if box_dims is not None:
+                box = self._sample_rrc_box(*box_dims)
+            # box_dims None (no readable RGB frame header): degrade to a
+            # full-frame resize at rrc_size so the item keeps the static
+            # shape; a truly empty video still raises in _read below
+
+        def rgb_view() -> np.ndarray:
+            if box is not None:
+                return self._read_rgb_rrc(sample["video"], frame_indices,
+                                          box, box_dims)
+            if self.rrc_size:
+                return _resize_frames(
+                    self._read(self.loader, sample["video"], frame_indices),
+                    (self.rrc_size, self.rrc_size))
+            return self._read_rgb_buffered(sample["video"], frame_indices)
+
+        def ext_view(frames: List[np.ndarray]) -> np.ndarray:
+            if box is not None:
+                return self._crop_resize_frames(frames, box, self.rrc_size,
+                                                box_dims)
+            if self.rrc_size:
+                return _resize_frames(frames,
+                                      (self.rrc_size, self.rrc_size))
+            return self._buffered(frames)
+
         clip = None
         if pos_channel_replace and self.channel_ext:
             if self.rng.random() < self.prob_replace:
                 key = self.rng.choice(list(self.channel_ext))
                 _, ch_loader = self.channel_ext[key]
-                ch_frames = self._read(ch_loader, sample[key], frame_indices)
-                arr = self._buffered(ch_frames)
+                arr = ext_view(self._read(ch_loader, sample[key],
+                                          frame_indices))
                 if key != "salient" or arr.mean() / 255.0 >= \
                         SALIENT_MASK_THRESHOLD:
                     clip = np.repeat(arr[..., :1], 3, axis=-1)
         if clip is None:
-            clip = self._read_rgb_buffered(sample["video"], frame_indices)
+            clip = rgb_view()
             if use_channel_ext and not pos_channel_replace:
                 for key, (_, ch_loader) in self.channel_ext.items():
-                    ch_frames = self._read(ch_loader, sample[key],
-                                           frame_indices)
-                    clip = np.concatenate(
-                        [clip, self._buffered(ch_frames)[..., :1]], axis=-1)
+                    ext = ext_view(self._read(ch_loader, sample[key],
+                                              frame_indices))
+                    clip = np.concatenate([clip, ext[..., :1]], axis=-1)
         return clip
 
 

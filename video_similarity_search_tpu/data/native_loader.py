@@ -27,21 +27,49 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+_ABI_VERSION = 2  # must match vss_loader_version() in vss_loader.cpp
+
+
 def _build() -> bool:
     base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB,
             _SRC, "-ljpeg", "-lpthread"]
     # -march=native vectorizes the fixed-point resize; the .so is always
     # (re)built on the host that runs it, so native tuning is safe — but
-    # fall back to the portable build if the toolchain rejects it
+    # fall back to the portable build if the toolchain rejects it (or the
+    # tuned compile times out on a loaded host)
     for cmd in ([*base[:2], "-march=native", *base[2:]], base):
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=180)
         except (OSError, subprocess.TimeoutExpired):
-            return False
+            continue
         if proc.returncode == 0 and os.path.exists(_LIB):
             return True
     return False
+
+
+def _bind(lib: ctypes.CDLL) -> Optional[ctypes.CDLL]:
+    """Resolve + type the C entry points; None for a stale/foreign .so
+    (missing symbol or ABI-version mismatch — e.g. a round-2 build whose
+    mtime survived a timestamp-preserving copy)."""
+    try:
+        if lib.vss_loader_version() != _ABI_VERSION:
+            return None
+        lib.vss_decode_frames.restype = ctypes.c_int
+        lib.vss_decode_frames.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+        ]
+        lib.vss_decode_frames_rrc.restype = ctypes.c_int
+        lib.vss_decode_frames_rrc.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+        ]
+    except AttributeError:
+        return None
+    return lib
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -57,20 +85,9 @@ def _load() -> Optional[ctypes.CDLL]:
                     os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
                 if not _build():
                     return None
-            lib = ctypes.CDLL(_LIB)
-            lib.vss_decode_frames.restype = ctypes.c_int
-            lib.vss_decode_frames.argtypes = [
-                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
-            ]
-            lib.vss_decode_frames_rrc.restype = ctypes.c_int
-            lib.vss_decode_frames_rrc.argtypes = [
-                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
-                ctypes.c_float, ctypes.c_float, ctypes.c_float,
-                ctypes.c_float, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
-            ]
-            _lib = lib
+            _lib = _bind(ctypes.CDLL(_LIB))
+            if _lib is None and _build():  # stale ABI: rebuild once
+                _lib = _bind(ctypes.CDLL(_LIB))
         except OSError:
             _lib = None
         return _lib

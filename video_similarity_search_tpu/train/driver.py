@@ -354,8 +354,7 @@ def train(args, cfg) -> None:
     """
     from ..models import model_selector
     from .checkpoint import (load_checkpoint, restore_train_state,
-                             save_checkpoint, torch_resnet3d_to_flax,
-                             merge_pretrained)
+                             save_checkpoint, merge_pretrained)
 
     is_master = is_master_proc()
     mesh = make_mesh(mesh_shape=cfg.TPU.MESH_SHAPE or None)
@@ -444,9 +443,16 @@ def train(args, cfg) -> None:
 
     if payload is not None:
         if "torch_state_dict" in payload:
-            p, s = torch_resnet3d_to_flax(payload["torch_state_dict"])
-            params, stats = merge_pretrained(state.params, state.batch_stats,
-                                             p, s, verbose=is_master)
+            # arch-dispatching converter: a --checkpoint_path pointing at a
+            # torch .pth.tar OR a Caffe2 .pkl must convert for the active
+            # MODEL.ARCH, not assume 3dresnet
+            from .checkpoint import torch_to_flax
+
+            p, s = torch_to_flax(payload["torch_state_dict"],
+                                 cfg.MODEL.ARCH)
+            params, stats = merge_pretrained(
+                state.params, state.batch_stats, p, s, verbose=is_master,
+                inflate_temporal=bool(cfg.SLOWFAST.CHECKPOINT_INFLATE))
             state = state.replace(params=params, batch_stats=stats)
         else:
             state, _, _ = restore_train_state(state, payload)
