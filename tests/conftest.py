@@ -29,7 +29,7 @@ os.environ["XLA_FLAGS"] = flags
 # Persistent XLA compile cache: the suite's wall-clock on the 1-core box
 # is dominated by CPU XLA compiles (~29 min cold); with the cache warm a
 # full run drops severalfold. Safe: entries are keyed by HLO hash.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache_cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/vss_xla_cpu"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax  # noqa: E402

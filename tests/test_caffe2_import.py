@@ -188,3 +188,50 @@ def test_2d_inflation_merge(capsys):
                                   inflate_temporal=False)
     assert np.all(np.asarray(
         merged2["s1_pathway0_stem"]["conv"]["Conv_0"]["kernel"]) == 0)
+
+
+def test_caffe2_pkl_merges_into_slowfast_model(tmp_path):
+    """Integration: a Caffe2 .pkl through load_checkpoint + the
+    arch-dispatching torch_to_flax merges real tensors into a live
+    SlowFast model's params (the driver's --checkpoint_path resume path
+    for MODEL.ARCH=slowfast; review finding: it previously hardcoded the
+    3dresnet converter and matched 0 tensors)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_similarity_search_tpu.train.checkpoint import (
+        load_checkpoint, merge_pretrained, torch_to_flax)
+    from video_similarity_search_tpu.models.slowfast import (
+        SlowFast, multipathway_input)
+
+    torch.manual_seed(1)
+    tnet = TSlowFastRep().eval()
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    blobs = {}
+    for k, v in sd.items():
+        c2 = _torch_key_to_caffe2(k)
+        if c2 is not None:
+            blobs[c2] = v
+    p = tmp_path / "sf.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"blobs": blobs}, f)
+
+    payload = load_checkpoint(str(p))
+    params, stats = torch_to_flax(payload["torch_state_dict"], "slowfast")
+
+    fmodel = SlowFast(depth=50, alpha=4, beta_inv=8,
+                      fusion_conv_channel_ratio=2, fusion_kernel_sz=7,
+                      projection_head=True, projection2_out=128)
+    x = multipathway_input(np.zeros((1, 8, 32, 32, 3), np.float32), 4)
+    variables = fmodel.init(jax.random.key(0), x, train=False)
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        merged, _ = merge_pretrained(variables["params"],
+                                     variables.get("batch_stats", {}),
+                                     params, stats)
+    out = buf.getvalue()
+    matched = int(out.split("matched ")[1].split(" tensors")[0])
+    assert matched > 100, out  # the whole backbone landed
