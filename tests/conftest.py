@@ -28,8 +28,16 @@ if "collective_call_terminate" not in flags:
 os.environ["XLA_FLAGS"] = flags
 # Persistent XLA compile cache: the suite's wall-clock on the 1-core box
 # is dominated by CPU XLA compiles (~29 min cold); with the cache warm a
-# full run drops severalfold. Safe: entries are keyed by HLO hash.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/vss_xla_cpu"))
+# full run drops severalfold. Entries are keyed by HLO hash, and the
+# directory is keyed by the host's CPU feature flags — XLA:CPU AOT
+# binaries are ISA-tuned, and loading one compiled on a different machine
+# is a latent SIGILL (utils/compile_cache.py).
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from video_similarity_search_tpu.utils.compile_cache import cpu_cache_dir  # noqa: E402
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cpu_cache_dir())
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax  # noqa: E402

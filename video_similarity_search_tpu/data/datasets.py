@@ -168,8 +168,10 @@ class ClipReader:
             if last is not None and len(paths) == len(frame_indices):
                 try:
                     top, left, ch, cw = box
+                    bh, bw = box_dims if box_dims else (-1.0, -1.0)
                     return native_loader.decode_frames_rrc(
-                        paths, top, left, ch, cw, self.rrc_size)
+                        paths, top, left, ch, cw, self.rrc_size,
+                        box_h=bh, box_w=bw)
                 except RuntimeError:
                     pass
         frames = self._read(self.loader, video_path, frame_indices)

@@ -27,11 +27,17 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-_ABI_VERSION = 2  # must match vss_loader_version() in vss_loader.cpp
+_ABI_VERSION = 3  # must match vss_loader_version() in vss_loader.cpp
 
 
 def _build() -> bool:
-    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB,
+    # Build to a temp path and rename over _LIB: the rename swaps the
+    # directory entry to a NEW inode, so a stale .so that is still
+    # dlopen'd in this process keeps its (old-inode) mapping intact —
+    # writing _LIB in place would truncate the mapped file and leave the
+    # old CDLL handle backed by inconsistent pages.
+    tmp = _LIB + f".build.{os.getpid()}"
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp,
             _SRC, "-ljpeg", "-lpthread"]
     # -march=native vectorizes the fixed-point resize; the .so is always
     # (re)built on the host that runs it, so native tuning is safe — but
@@ -43,8 +49,13 @@ def _build() -> bool:
                                   timeout=180)
         except (OSError, subprocess.TimeoutExpired):
             continue
-        if proc.returncode == 0 and os.path.exists(_LIB):
+        if proc.returncode == 0 and os.path.exists(tmp):
+            os.replace(tmp, _LIB)
             return True
+    try:
+        os.unlink(tmp)
+    except OSError:
+        pass
     return False
 
 
@@ -64,7 +75,7 @@ def _bind(lib: ctypes.CDLL) -> Optional[ctypes.CDLL]:
         lib.vss_decode_frames_rrc.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
-            ctypes.c_float, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
         ]
     except AttributeError:
@@ -120,14 +131,20 @@ def decode_frames(paths: List[str], out_size: int, eval_mode: bool,
 
 def decode_frames_rrc(paths: List[str], top: float, left: float,
                       crop_h: float, crop_w: float, out_size: int,
+                      box_h: float = -1.0, box_w: float = -1.0,
                       n_threads: int = 4) -> np.ndarray:
     """Decode JPEG ``paths`` with a clip-consistent RandomResizedCrop
-    window (original-pixel coords) -> (T, out_size, out_size, 3) uint8.
+    window -> (T, out_size, out_size, 3) uint8.
 
-    One GIL-free C call per clip: the crop+resize happens inside the
-    decode (DCT-scaled when the window allows), so the host never
-    materializes the full-size frame buffer — 4x fewer output bytes than
-    decoding to the 2x train buffer and cropping on device."""
+    The window coordinates live in the ``(box_h, box_w)`` frame the box
+    was sampled from (pass -1 when they are already in each frame's own
+    pixel coordinates); the decoder rescales the box per frame, so clips
+    whose frames are stored at mixed resolutions crop the SAME relative
+    window as the cv2 fallback. One GIL-free C call per clip: the
+    crop+resize happens inside the decode (DCT-scaled when the window
+    allows), so the host never materializes the full-size frame buffer —
+    4x fewer output bytes than decoding to the 2x train buffer and
+    cropping on device."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native loader unavailable")
@@ -136,8 +153,8 @@ def decode_frames_rrc(paths: List[str], top: float, left: float,
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     rc = lib.vss_decode_frames_rrc(
         c_paths, n, float(top), float(left), float(crop_h), float(crop_w),
-        out_size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        n_threads)
+        float(box_h), float(box_w), out_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), n_threads)
     if rc != 0:
         raise RuntimeError(f"native rrc decode failed for {paths[-rc - 1]!r}")
     return out

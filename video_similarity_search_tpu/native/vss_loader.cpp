@@ -118,13 +118,19 @@ void resize_crop(const uint8_t* src, int h, int w, int oh, int ow,
   resize_window(src, h, w, sy, sx, crop_top * sy, crop_left * sx, out, dst);
 }
 
-// Decode one JPEG into RGB pixels, DCT-downscaling so that `ref_dim`
-// (the source extent that will be resampled to `out_size`) stays >=
-// out_size. Returns false on failure; on success fills pixels/h/w and the
-// DCT scale factor actually applied (output = original / *denom).
-bool decode_pixels(const char* path, float ref_dim, int out_size,
+// Decode one JPEG into RGB pixels, DCT-downscaling so that the source
+// extent that will be resampled to `out_size` stays >= out_size.
+// (crop_h, crop_w) is the RRC window in (box_h, box_w)-frame coordinates
+// (crop_h <= 0: no window — use the image short edge); box_h/box_w <= 0
+// means the window is already in this frame's own pixel coordinates.
+// On success fills pixels/h/w, the DCT scale factor actually applied
+// (output = original / *denom), and the per-axis box->frame rescale
+// factors ry/rx (frames stored at a different resolution than the frame
+// the box was sampled from get the SAME relative window).
+bool decode_pixels(const char* path, float crop_h, float crop_w,
+                   float box_h, float box_w, int out_size,
                    std::vector<uint8_t>& pixels, int* h, int* w,
-                   int* denom_out) {
+                   int* denom_out, float* ry_out, float* rx_out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
 
@@ -141,12 +147,20 @@ bool decode_pixels(const char* path, float ref_dim, int out_size,
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
 
-  const float base = ref_dim > 0.f
-                         ? ref_dim
-                         : static_cast<float>(
-                               cinfo.image_height < cinfo.image_width
-                                   ? cinfo.image_height
-                                   : cinfo.image_width);
+  const float ry = box_h > 0.f ? cinfo.image_height / box_h : 1.f;
+  const float rx = box_w > 0.f ? cinfo.image_width / box_w : 1.f;
+  float base;
+  if (crop_h > 0.f) {
+    const float eh = crop_h * ry;
+    const float ew = crop_w * rx;
+    base = eh < ew ? eh : ew;
+  } else {
+    base = static_cast<float>(cinfo.image_height < cinfo.image_width
+                                  ? cinfo.image_height
+                                  : cinfo.image_width);
+  }
+  if (ry_out) *ry_out = ry;
+  if (rx_out) *rx_out = rx;
   int denom = 1;
   while (denom < 8 && base / (denom * 2) >= out_size) denom *= 2;
   cinfo.scale_num = 1;
@@ -174,7 +188,8 @@ bool decode_one(const char* path, int out_size, int eval_mode,
                 uint8_t* dst) {
   std::vector<uint8_t> pixels;
   int h, w, denom;
-  if (!decode_pixels(path, -1.f, out_size, pixels, &h, &w, &denom))
+  if (!decode_pixels(path, -1.f, -1.f, -1.f, -1.f, out_size, pixels, &h,
+                     &w, &denom, nullptr, nullptr))
     return false;
 
   if (eval_mode) {
@@ -194,21 +209,26 @@ bool decode_one(const char* path, int out_size, int eval_mode,
 }
 
 // RandomResizedCrop path: resample the (top, left, crop_h, crop_w) window
-// (coordinates in ORIGINAL image pixels) to out_size^2 — the reference's
-// host-side RandomResizedCrop (datasets/spatial_transforms.py:171-225)
-// fused into the decode.
+// (coordinates in the (box_h, box_w) frame the box was sampled from —
+// rescaled per frame to each frame's own resolution) to out_size^2 —
+// the reference's host-side RandomResizedCrop
+// (datasets/spatial_transforms.py:171-225) fused into the decode.
 bool decode_one_rrc(const char* path, float top, float left, float crop_h,
-                    float crop_w, int out_size, uint8_t* dst) {
+                    float crop_w, float box_h, float box_w, int out_size,
+                    uint8_t* dst) {
   std::vector<uint8_t> pixels;
   int h, w, denom;
-  const float ref = crop_h < crop_w ? crop_h : crop_w;
-  if (!decode_pixels(path, ref, out_size, pixels, &h, &w, &denom))
+  float ry, rx;
+  if (!decode_pixels(path, crop_h, crop_w, box_h, box_w, out_size, pixels,
+                     &h, &w, &denom, &ry, &rx))
     return false;
   const float inv = 1.0f / denom;  // crop coords in the decoded scale
-  const float sy = out_size > 1 ? (crop_h * inv - 1.f) / (out_size - 1) : 0.f;
-  const float sx = out_size > 1 ? (crop_w * inv - 1.f) / (out_size - 1) : 0.f;
-  resize_window(pixels.data(), h, w, sy, sx, top * inv, left * inv,
-                out_size, dst);
+  const float ch = crop_h * ry * inv;
+  const float cw = crop_w * rx * inv;
+  const float sy = out_size > 1 ? (ch - 1.f) / (out_size - 1) : 0.f;
+  const float sx = out_size > 1 ? (cw - 1.f) / (out_size - 1) : 0.f;
+  resize_window(pixels.data(), h, w, sy, sx, top * ry * inv,
+                left * rx * inv, out_size, dst);
   return true;
 }
 
@@ -253,7 +273,8 @@ extern "C" int vss_decode_frames(const char** paths, int n_frames,
 // resampled to out_size^2 — one GIL-free call per clip.
 extern "C" int vss_decode_frames_rrc(const char** paths, int n_frames,
                                      float top, float left, float crop_h,
-                                     float crop_w, int out_size,
+                                     float crop_w, float box_h,
+                                     float box_w, int out_size,
                                      unsigned char* out, int n_threads) {
   if (n_frames <= 0) return 0;
   std::atomic<int> next(0);
@@ -264,8 +285,8 @@ extern "C" int vss_decode_frames_rrc(const char** paths, int n_frames,
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n_frames) return;
-      if (!decode_one_rrc(paths[i], top, left, crop_h, crop_w, out_size,
-                          out + frame_bytes * i)) {
+      if (!decode_one_rrc(paths[i], top, left, crop_h, crop_w, box_h,
+                          box_w, out_size, out + frame_bytes * i)) {
         int expected = 0;
         failed.compare_exchange_strong(expected, -(i + 1));
       }
@@ -285,4 +306,4 @@ extern "C" int vss_decode_frames_rrc(const char** paths, int n_frames,
   return failed.load();
 }
 
-extern "C" int vss_loader_version() { return 2; }
+extern "C" int vss_loader_version() { return 3; }

@@ -38,6 +38,26 @@ def _ckpt_dir(output_path: str, arch: str) -> str:
     return os.path.join(output_path, "tnet_checkpoints", arch)
 
 
+def _stable_keystr(path) -> str:
+    """Version-stable keypath serialization: ``jax.tree_util.keystr``'s
+    output format is an implementation detail of the installed JAX, so a
+    checkpoint written under one version could fail every key match under
+    another and (loudly but wrongly) reset optimizer state / banks. Build
+    the string from the key objects' own fields instead: each entry
+    becomes ``<KeyType>:<value>`` (DictKey/FlattenedIndexKey ``.key``,
+    SequenceKey ``.idx``, GetAttrKey ``.name``)."""
+    parts = []
+    for k in path:
+        for attr in ("key", "idx", "name"):
+            v = getattr(k, attr, None)
+            if v is not None:
+                parts.append(f"{type(k).__name__}:{v}")
+                break
+        else:  # unknown key type: repr is the best available
+            parts.append(repr(k))
+    return "/" + "/".join(parts)
+
+
 def _flatten_keystr(tree) -> Dict[str, np.ndarray]:
     """Flatten a pytree to an explicit {keypath-string: leaf} mapping, so a
     restore can pour leaves back BY NAME instead of relying on orbax's
@@ -45,7 +65,7 @@ def _flatten_keystr(tree) -> Dict[str, np.ndarray]:
     leaves when e.g. a tuple level has >= 10 entries and '10' sorts
     before '2')."""
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    return {jax.tree_util.keystr(path): np.asarray(leaf)
+    return {_stable_keystr(path): np.asarray(leaf)
             for path, leaf in flat}
 
 
@@ -58,8 +78,12 @@ def _pour_flat(live_tree, saved_flat, name: str, verbose: bool = True):
     flat, treedef = jax.tree_util.tree_flatten_with_path(live_tree)
     out, kept_fresh = [], []
     for path, live in flat:
-        k = jax.tree_util.keystr(path)
+        k = _stable_keystr(path)
+        # legacy fallback: checkpoints written before the stable key
+        # format used this version's raw keystr() output
         sv = saved_flat.get(k)
+        if sv is None:
+            sv = saved_flat.get(jax.tree_util.keystr(path))
         if sv is not None and tuple(np.shape(sv)) == tuple(np.shape(live)):
             out.append(jnp.asarray(sv))
         else:
@@ -681,22 +705,34 @@ def caffe2_name_to_torch(name: str) -> str:
     return name
 
 
-# Caffe2 solver/bookkeeping blobs that are not model weights
-_C2_SKIP = ("momentum", "lr", "model_iter", "__")
+def _is_c2_solver_blob(key: str) -> bool:
+    """Caffe2 solver/bookkeeping blobs that are not model weights. The
+    reference uses these substrings only to SUPPRESS warnings for
+    unconvertible blobs (c2_model_loading.py / checkpoint.py:250-258);
+    match them as name segments — not bare substrings — so a weight blob
+    whose name merely contains e.g. 'lr' is converted, not dropped."""
+    return (key == "lr" or key.endswith("_lr")
+            or key == "momentum" or key.endswith("_momentum")
+            or key == "model_iter" or key.endswith("_model_iter")
+            or key.startswith("__"))
 
 
-def caffe2_blobs_to_torch_sd(blobs: Dict[str, np.ndarray]
-                             ) -> Dict[str, np.ndarray]:
+def caffe2_blobs_to_torch_sd(blobs: Dict[str, np.ndarray],
+                             verbose: bool = True) -> Dict[str, np.ndarray]:
     """{caffe2 blob name: array} -> pyslowfast-style torch state_dict
     (reference load_checkpoint convert_from_caffe2 branch,
     slowfast/utils/checkpoint.py:206-263). Caffe2 conv blobs share torch's
     (Cout, Cin, kT, kH, kW) layout, so the arch converters below apply
     unchanged."""
-    sd = {}
+    sd, skipped = {}, []
     for key, blob in blobs.items():
-        if any(s in key for s in _C2_SKIP):
+        if _is_c2_solver_blob(key):
+            skipped.append(key)
             continue
         sd[caffe2_name_to_torch(key)] = np.asarray(blob)
+    if skipped and verbose:
+        print(f"caffe2 import: skipped {len(skipped)} solver/bookkeeping "
+              f"blobs (first: {skipped[0]})")
     return sd
 
 

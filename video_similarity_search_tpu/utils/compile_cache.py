@@ -8,7 +8,37 @@ hash, so the cache is always safe to share between runs.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
+
+
+def host_feature_fingerprint() -> str:
+    """Short hash of this host's CPU feature flags. XLA:CPU caches
+    AOT-compiled binaries tuned to the compiling machine's ISA features;
+    loading one on a host with different features is a latent SIGILL
+    (``cpu_aot_loader`` warns "could lead to execution errors"). Keying
+    the cache path by the feature set means a mismatched host simply gets
+    a cold cache instead of a foreign binary."""
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith(("flags", "features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    if not feats:
+        feats = f"{platform.machine()}:{platform.processor()}"
+    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+
+
+def cpu_cache_dir() -> str:
+    """Host-feature-keyed persistent cache dir for the CPU backend (used
+    by the test suite and the multichip dryrun)."""
+    return os.path.join(os.path.expanduser("~"), ".cache",
+                        f"vss_xla_cpu_{host_feature_fingerprint()}")
 
 
 def enable_compile_cache(path: str | None = None) -> None:
