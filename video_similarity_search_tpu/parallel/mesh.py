@@ -58,19 +58,23 @@ def shard_batch(mesh: Mesh, batch):
     TPU-native replacement for DistributedSampler + per-rank batches
     (reference datasets/data_loader.py:283).
 
+    Scalar (0-d) leaves — e.g. a loader batch's ``__size__`` bookkeeping
+    field — can't split over the data axis and are replicated instead.
+
     Validation note: the single-host path (including the 8-virtual-device
     mesh) is covered by the test suite and the driver dryrun; the
-    multi-host branch follows the standard
-    ``jax.make_array_from_process_local_data`` recipe but cannot be
-    executed in the development sandbox (its jaxlib lacks cross-process
-    CPU collectives) — exercise it on a real pod slice before relying on
-    it."""
+    multi-host branch executes for real in tests/test_multiprocess.py
+    (2 processes x 4 virtual CPU devices, gloo collectives — the round-2
+    claim that this jaxlib lacks cross-process CPU collectives was
+    falsified in round 4)."""
     sh = batch_sharding(mesh)
+    rep = replicated(mesh)
     if jax.process_count() > 1:
         return jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(
-                sh, np.asarray(x)), batch)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+                rep if np.ndim(x) == 0 else sh, np.asarray(x)), batch)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, rep if np.ndim(x) == 0 else sh), batch)
 
 
 def replicate(mesh: Mesh, tree):
