@@ -51,21 +51,29 @@ class DictReader:
 
 
 class LMDBReader:
-    """Real LMDB backend (reference lmdb.open flags, :74-76)."""
+    """Real LMDB-file backend (reference lmdb.open flags, :74-76).
+
+    Uses the ``lmdb`` wheel when installed; otherwise falls back to the
+    vendored pure-Python pager (:mod:`.lmdb_lite`) for the same on-disk
+    format, so real ``.lmdb`` stores load either way."""
 
     def __init__(self, db_path: str):
         try:
             import lmdb
-        except ImportError as e:
-            raise ImportError(
-                "LMDB datasets need the 'lmdb' package; this environment "
-                "lacks it — use DictReader-backed stores or the frame-JPEG "
-                "pipeline (data.pipeline.build_data_loader).") from e
-        self.env = lmdb.open(db_path, subdir=os.path.isdir(db_path),
-                             readonly=True, lock=False, readahead=False,
-                             meminit=False)
+        except ImportError:
+            from .lmdb_lite import LiteEnv
+            self.env = None
+            self._lite = LiteEnv(db_path)
+        else:
+            self.env = lmdb.open(db_path, subdir=os.path.isdir(db_path),
+                                 readonly=True, lock=False, readahead=False,
+                                 meminit=False)
+            self._lite = None
 
     def get(self, key: bytes) -> Optional[bytes]:
+        if self.env is None:
+            raw = self._lite.get(key)
+            return raw
         with self.env.begin(write=False) as txn:
             raw = txn.get(key)
         return bytes(raw) if raw is not None else None
