@@ -24,6 +24,9 @@ def _build_default_cfg() -> ConfigNode:
     # tensorboard events when importable) — the reference's tensorboardX
     # PlotterThread channel (coclr_utils/tensorboard_utils.py:7-31)
     _C.TRAIN.METRICS_SINK = False
+    # full train-bank retrieval eval cadence (reference hardcodes 10,
+    # online_train.py:736; configurable here, same default)
+    _C.TRAIN.RETRIEVAL_INTERVAL = 10
 
     # -- Validation (:24-27) ------------------------------------------------
     _C.VAL = ConfigNode()
@@ -161,6 +164,12 @@ def _build_default_cfg() -> ConfigNode:
     _C.TPU.HOST_RRC = False
     _C.TPU.PROFILE_DIR = ""  # capture a jax.profiler trace of epoch-0 steps
     _C.TPU.REMAT = False  # checkpoint residual blocks (big-batch training)
+    # producer-side device_put: the prefetch thread uploads each batch's
+    # clip arrays to HBM (forced transfer) so host->device copy overlaps
+    # the next batch's decode instead of serializing inside the consumer's
+    # first execute (single-process runs only; the torch pin_memory/worker
+    # overlap of reference data_loader.py:300-342)
+    _C.TPU.PREFETCH_DEVICE_PUT = False
 
     return _C
 

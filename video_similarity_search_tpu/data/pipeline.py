@@ -86,12 +86,22 @@ def build_temporal_transforms(cfg, triplets: bool = True):
 
 
 class PrefetchLoader:
-    """Batched, shuffled, thread-prefetched iterator over a dataset."""
+    """Batched, shuffled, thread-prefetched iterator over a dataset.
+
+    ``device_upload=True`` additionally moves each batch's large array
+    leaves to the device INSIDE the producer thread (``jax.device_put`` +
+    a forced materialization), so the host->HBM transfer overlaps the next
+    batch's decode instead of serializing inside the consumer's first
+    jitted execute — the torch pin_memory/worker overlap the reference
+    gets for free (datasets/data_loader.py:300-342). Single-process only
+    (multi-host assembly needs host numpy for
+    ``make_array_from_process_local_data``)."""
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool,
                  drop_last: bool, collate: Callable, num_workers: int = 4,
                  prefetch_depth: int = 2, seed: int = 0,
-                 shard_index: int = 0, num_shards: int = 1):
+                 shard_index: int = 0, num_shards: int = 1,
+                 device_upload: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -103,6 +113,35 @@ class PrefetchLoader:
         self.epoch = 0
         self.shard_index = shard_index
         self.num_shards = num_shards
+        self.device_upload = device_upload
+
+    # large array leaves are worth an early upload; small metadata stays host
+    _UPLOAD_MIN_BYTES = 1 << 16
+
+    def _upload(self, batch):
+        """Producer-side device_put + forced transfer of the big leaves.
+
+        A plain ``device_put`` can be lazy (notably over the axon remote
+        tunnel, where the actual upload otherwise happens inside the FIRST
+        executable that consumes the buffer at ~35 MB/s on the execute
+        path); touching every uploaded buffer with one trivial jitted
+        reduce and materializing the scalar forces the transfer to finish
+        here, in the prefetch thread, overlapped with decode."""
+        import jax
+        import jax.numpy as jnp
+
+        out = dict(batch)
+        touched = []
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray) and v.nbytes >= self._UPLOAD_MIN_BYTES:
+                dv = jax.device_put(v)
+                out[k] = dv
+                touched.append(dv)
+        if touched:
+            tot = jax.jit(lambda xs: sum(
+                x.ravel()[0].astype(jnp.float32) for x in xs))(touched)
+            float(tot)  # materialize: upload is complete past this point
+        return out
 
     def set_epoch(self, epoch: int) -> None:
         """reference DistributedSampler.set_epoch (online_train.py:672-673)."""
@@ -148,6 +187,19 @@ class PrefetchLoader:
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # bounded put that aborts when the consumer abandoned the
+            # iterator: a daemon thread blocked forever in out_q.put would
+            # be killed at interpreter exit — fatal if it then sits inside
+            # an XLA call (device_upload)
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 for bidx in batches:
@@ -163,12 +215,25 @@ class PrefetchLoader:
                         batch["__valid__"] = (np.arange(self.batch_size)
                                               < real)
                         batch["__size__"] = real
-                    out_q.put(batch)
+                        if self.device_upload:
+                            batch = self._upload(batch)
+                    if not put_or_stop(batch):
+                        break
             finally:
-                out_q.put(None)
+                put_or_stop(None)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
+        # Interpreter-exit safety: a daemon producer killed while inside an
+        # XLA call (device_upload) aborts the process with a C++ terminate.
+        # threading's internal atexit hooks run BEFORE non-daemon joins /
+        # runtime teardown, so stop the producer and give it a moment to
+        # leave any in-flight upload.
+        try:
+            threading._register_atexit(
+                lambda: (stop.set(), thread.join(timeout=5)))
+        except Exception:  # registration after shutdown began, or no API
+            pass
 
         def gen():
             try:
@@ -338,13 +403,32 @@ def build_data_loader(split: str, cfg, is_master_proc: bool = True,
         else:
             bsz = batch_size or min(max(default_bsz * 6, 256),
                                     max(len(samples), default_bsz * 6))
+            # the auto batch can land on len(samples) (any value between
+            # default*6 and 256) — round down to a device-count multiple
+            # so the sharded embedding pass divides evenly
+            try:
+                import jax
+                n_dev = jax.device_count()
+            except Exception:  # pragma: no cover - jax init failure
+                n_dev = 1
+            if bsz > n_dev:
+                bsz -= bsz % n_dev
         shuffle = False if req_train_shuffle is None else req_train_shuffle
         dl = drop_last if drop_last is not None else False
 
+    if cfg.TPU.PREFETCH_DEVICE_PUT:
+        try:
+            import jax
+            upload = jax.process_count() == 1
+        except Exception:  # pragma: no cover - jax init failure
+            upload = False
+    else:
+        upload = False
     loader = PrefetchLoader(
         dataset, bsz, shuffle=shuffle, drop_last=dl, collate=collate,
         num_workers=cfg.TRAIN.NUM_DATA_WORKERS,
         prefetch_depth=cfg.TPU.PREFETCH_DEPTH,
         shard_index=shard_index, num_shards=num_shards,
+        device_upload=upload,
     )
     return loader, (dataset, idx_to_class)

@@ -51,10 +51,17 @@ from .steps import (make_contrastive_train_step, make_moco_train_step,
 def _shard_host_batch(mesh, batch, keys):
     """Shard the named uint8/int arrays of a host batch over the data mesh
     (leading axis split; the reference's DistributedSampler+DDP input path,
-    misc/distributed_helper.py + datasets/data_loader.py:283)."""
+    misc/distributed_helper.py + datasets/data_loader.py:283).
+
+    Leaves already living on device (the loader's producer-side
+    ``device_upload``) pass through without a host round-trip —
+    ``np.asarray`` on a device array would D2H-download it."""
+    def to_host(x):
+        return x if isinstance(x, jax.Array) else np.asarray(x)
+
     if mesh is None:
         return {k: jnp.asarray(batch[k]) for k in keys if k in batch}
-    return shard_batch(mesh, {k: np.asarray(batch[k])
+    return shard_batch(mesh, {k: to_host(batch[k])
                               for k in keys if k in batch})
 
 
@@ -495,10 +502,10 @@ def train(args, cfg) -> None:
             for k, v in (topk or {}).items():
                 sink.add_scalar(f"val/top{k}", v, epoch)
 
-        # every-10-epochs global retrieval drives is_best
-        # (reference online_train.py:736-746)
+        # every-RETRIEVAL_INTERVAL-epochs global retrieval drives is_best
+        # (reference online_train.py:736-746; its cadence is hardcoded 10)
         is_best = False
-        if epoch % 10 == 0:
+        if epoch % max(1, cfg.TRAIN.RETRIEVAL_INTERVAL) == 0:
             retr = k_nearest_embeddings(state, model, cfg, eval_train_loader,
                                         eval_val_loader, epoch=epoch,
                                         is_master_proc=is_master)
