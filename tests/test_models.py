@@ -249,3 +249,12 @@ def test_remat_same_gradients():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    rtol=1e-4)
+
+    # stage-scoped remat (TPU.REMAT_STAGES): same math, stage-1-only
+    # checkpointing (the ~2 GB/activation stage at 256-clip steps)
+    rm1 = generate_model(10, remat=True, remat_stages=(1,), **kw)
+    l3, g3 = jax.value_and_grad(loss(rm1))(v["params"])
+    np.testing.assert_allclose(float(l1), float(l3), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4)

@@ -164,6 +164,9 @@ def _build_default_cfg() -> ConfigNode:
     _C.TPU.HOST_RRC = False
     _C.TPU.PROFILE_DIR = ""  # capture a jax.profiler trace of epoch-0 steps
     _C.TPU.REMAT = False  # checkpoint residual blocks (big-batch training)
+    # restrict remat to specific 1-based stages, e.g. "1" (stage-1 holds
+    # the ~2 GB activations at 256-clip steps); "" = all stages
+    _C.TPU.REMAT_STAGES = ""
     # producer-side device_put: the prefetch thread uploads each batch's
     # clip arrays to HBM (forced transfer) so host->device copy overlaps
     # the next batch's decode instead of serializing inside the consumer's

@@ -20,6 +20,16 @@ from .slowfast import SlowFast
 ARCHES = ("3dresnet", "slowfast", "info_nce", "uber_nce", "s3d", "r3d")
 
 
+def _parse_remat_stages(spec) -> Optional[tuple]:
+    """``TPU.REMAT_STAGES`` '1' / '1,2' -> (1, 2); ''/None -> None (= all
+    stages when TPU.REMAT)."""
+    if not spec:
+        return None
+    if isinstance(spec, (list, tuple)):
+        return tuple(int(s) for s in spec)
+    return tuple(int(s) for s in str(spec).split(","))
+
+
 def _dtype_from_cfg(cfg) -> Any:
     name = str(cfg.TPU.COMPUTE_DTYPE).lower() if "TPU" in cfg else "float32"
     return {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
@@ -69,6 +79,8 @@ def model_selector(cfg, projection_head: bool = True, classifier: bool = False,
             dropout=dropout,
             stem_s2d=bool(cfg.TPU.STEM_S2D) if "TPU" in cfg else False,
             remat=bool(cfg.TPU.REMAT) if "TPU" in cfg else False,
+            remat_stages=_parse_remat_stages(
+                cfg.TPU.REMAT_STAGES) if "TPU" in cfg else None,
             dtype=dtype,
             axis_name=axis_name,
         )

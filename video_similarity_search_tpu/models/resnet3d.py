@@ -224,22 +224,34 @@ class ResNet3D(nn.Module):
     dropout: Optional[float] = None
     stem_s2d: bool = False  # space-to-depth stem (see module docstring)
     remat: bool = False  # rematerialize residual blocks (trade FLOPs for HBM)
+    # restrict remat to specific stages (1-based); None = all stages when
+    # ``remat``. Stage 1 holds the ~2 GB/activation tensors at 256-clip
+    # steps — stage-scoped remat frees most of the HBM for a fraction of
+    # the recompute FLOPs (PERF.md round-4 profile)
+    remat_stages: Optional[Sequence[int]] = None
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         assert x.ndim == 5, f"expected (B,T,H,W,C), got {x.shape}"
-        block_cls = BasicBlock3d if self.block == "basic" else Bottleneck3d
-        if self.remat:
-            # activation checkpointing per residual block: backward recomputes
-            # the block forward instead of keeping its activations in HBM —
-            # what enables the reference's large-batch configs (Kinetics
-            # B=104) on a fixed-HBM chip
-            # static_argnums counts (scope, x, train): train must stay a
-            # python bool so BN's mode stays static under the remat trace
-            block_cls = nn.remat(block_cls, static_argnums=(2,))
-        expansion = block_cls.expansion
+        plain_block_cls = BasicBlock3d if self.block == "basic" \
+            else Bottleneck3d
+        # activation checkpointing per residual block: backward recomputes
+        # the block forward instead of keeping its activations in HBM —
+        # what enables the reference's large-batch configs (Kinetics
+        # B=104) on a fixed-HBM chip
+        # static_argnums counts (scope, x, train): train must stay a
+        # python bool so BN's mode stays static under the remat trace
+        remat_block_cls = nn.remat(plain_block_cls, static_argnums=(2,))
+
+        def block_for(stage: int):
+            if self.remat and (self.remat_stages is None
+                               or stage in self.remat_stages):
+                return remat_block_cls
+            return plain_block_cls
+
+        expansion = plain_block_cls.expansion
         inplanes = [int(p * self.widen_factor) for p in self.block_inplanes]
 
         x = x.astype(self.dtype)
@@ -273,7 +285,7 @@ class ResNet3D(nn.Module):
         for stage, (planes, blocks) in enumerate(zip(inplanes, self.layers), 1):
             stride = 1 if stage == 1 else 2
             for b in range(blocks):
-                h = block_cls(
+                h = block_for(stage)(
                     planes=planes,
                     stride=stride if b == 0 else 1,
                     shortcut_type=self.shortcut_type,

@@ -14,12 +14,16 @@ import platform
 
 
 def host_feature_fingerprint() -> str:
-    """Short hash of this host's CPU feature flags. XLA:CPU caches
-    AOT-compiled binaries tuned to the compiling machine's ISA features;
-    loading one on a host with different features is a latent SIGILL
-    (``cpu_aot_loader`` warns "could lead to execution errors"). Keying
-    the cache path by the feature set means a mismatched host simply gets
-    a cold cache instead of a foreign binary."""
+    """Short hash of this host's CPU feature flags + the installed jaxlib
+    version. XLA:CPU caches AOT-compiled binaries tuned to the compiling
+    machine's ISA features; loading one on a host with different features
+    is a latent SIGILL (``cpu_aot_loader`` warns "could lead to execution
+    errors"). The compile-feature set also carries LLVM tuning attributes
+    (e.g. ``+prefer-no-scatter``) that change with the jaxlib/LLVM build,
+    not just the silicon — observed in round 4 when entries compiled by a
+    different jaxlib warned on an identical CPU — so the jaxlib version is
+    part of the key. A mismatched host/toolchain simply gets a cold cache
+    instead of a foreign binary."""
     feats = ""
     try:
         with open("/proc/cpuinfo") as f:
@@ -31,6 +35,11 @@ def host_feature_fingerprint() -> str:
         pass
     if not feats:
         feats = f"{platform.machine()}:{platform.processor()}"
+    try:
+        import jaxlib
+        feats += f"|jaxlib={jaxlib.__version__}"
+    except Exception:
+        pass
     return hashlib.sha256(feats.encode()).hexdigest()[:12]
 
 
