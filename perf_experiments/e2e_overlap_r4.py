@@ -37,9 +37,10 @@ def build_dataset():
     from synthetic_data import make_synthetic_ucf
 
     tmp = tempfile.mkdtemp(prefix="e2e_r4_")
+    # manifests skip videos with num_frames < 2*SAMPLE_DURATION (= 32)
     vid, ann = make_synthetic_ucf(
         os.path.join(tmp, "data"), n_classes=8, videos_per_class=22,
-        n_frames=20, size=240, seed=0)
+        n_frames=36, size=240, seed=0)
     return tmp, vid, ann
 
 
