@@ -111,17 +111,25 @@ def main():
     q = jnp.asarray(q_np)
     k = 50
 
-    t0 = time.perf_counter()
-    idx, val = topk_neighbors(q, x, k, metric="cosine")
-    sync(idx)
-    cold = time.perf_counter() - t0
-    best = float("inf")
-    for i in range(3):
-        qq = q + jnp.float32(i) * 1e-6
+    results = {}
+    for mode in (False, True):
         t0 = time.perf_counter()
-        idx, val = topk_neighbors(qq, x, k, metric="cosine")
+        idx, val = topk_neighbors(q, x, k, metric="cosine", approx=mode)
         sync(idx)
-        best = min(best, time.perf_counter() - t0)
+        cold = time.perf_counter() - t0
+        best = float("inf")
+        for i in range(3):
+            qq = q + jnp.float32(i) * 1e-6
+            t0 = time.perf_counter()
+            idx, val = topk_neighbors(qq, x, k, metric="cosine", approx=mode)
+            sync(idx)
+            best = min(best, time.perf_counter() - t0)
+        results["approx" if mode else "exact"] = (cold, best, idx)
+    cold, best, idx = results["exact"]
+    a_cold, a_best, a_idx = results["approx"]
+    ex, ap = np.asarray(idx), np.asarray(a_idx)
+    recall = float(np.mean([len(set(ex[i]) & set(ap[i])) / k
+                            for i in range(0, ex.shape[0], 97)]))
     # rooflines: matmul flops vs HBM traffic of the score pass
     flops = 2.0 * q.shape[0] * N * D
     compute_bound_s = flops / (197e12)
@@ -133,10 +141,13 @@ def main():
     bound = max(compute_bound_s, bw_bound_s)
     print(json.dumps({
         "exp": "topk_240k", "queries": int(q.shape[0]), "bank": N, "k": k,
-        "cold_s": round(cold, 2), "best_ms": round(best * 1e3, 1),
+        "exact_ms": round(best * 1e3, 1),
+        "approx_ms": round(a_best * 1e3, 1),
+        "approx_recall": round(recall, 4),
         "compute_bound_ms": round(compute_bound_s * 1e3, 1),
         "bw_bound_ms": round(bw_bound_s * 1e3, 1),
-        "roofline_frac": round(bound / best, 3)}), flush=True)
+        "exact_roofline_frac": round(bound / best, 3),
+        "approx_roofline_frac": round(bound / a_best, 3)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -167,6 +167,10 @@ def _build_default_cfg() -> ConfigNode:
     # restrict remat to specific 1-based stages, e.g. "1" (stage-1 holds
     # the ~2 GB activations at 256-clip steps); "" = all stages
     _C.TPU.REMAT_STAGES = ""
+    # approx_min_k in the retrieval top-k (bank-scale evals: 8.5x at a
+    # 240k-row bank, measured recall 0.998 at the 0.99 target — PERF.md
+    # round 4). Off by default: retrieval metrics are parity numbers.
+    _C.TPU.APPROX_TOPK = False
     # producer-side device_put: the prefetch thread uploads each batch's
     # clip arrays to HBM (forced transfer) so host->device copy overlaps
     # the next batch's decode instead of serializing inside the consumer's

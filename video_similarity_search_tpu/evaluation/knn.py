@@ -51,7 +51,8 @@ def k_nearest_embeddings(state, model, cfg, train_loader, test_loader, *,
 
     topk = topk_retrieval_acc(test_emb, test_labels, train_emb, train_labels,
                               ks=TOPK_DEFAULT,
-                              metric=cfg.LOSS.DIST_METRIC)
+                              metric=cfg.LOSS.DIST_METRIC,
+                              approx=bool(cfg.TPU.APPROX_TOPK))
     if is_master_proc:
         line = " ".join(f"top{k}:{v:.4f}" for k, v in sorted(topk.items()))
         print(f"Retrieval epoch {epoch}: {line}")

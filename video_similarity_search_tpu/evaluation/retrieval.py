@@ -36,13 +36,16 @@ def topk_retrieval_acc(query_emb: np.ndarray, query_labels: np.ndarray,
                        bank_emb: np.ndarray, bank_labels: np.ndarray, *,
                        ks: Sequence[int] = TOPK_DEFAULT,
                        metric: str = "cosine",
-                       exclude_self: bool = False) -> Dict[int, float]:
+                       exclude_self: bool = False,
+                       approx: bool = False) -> Dict[int, float]:
     """Top-k label-hit accuracy: a video counts as correct at k if ANY of
     its k nearest bank entries shares its label
-    (reference get_topk_acc, evaluate.py:287-307)."""
+    (reference get_topk_acc, evaluate.py:287-307). ``approx`` enables the
+    TPU approx_min_k reduction for Kinetics-scale banks (cfg
+    ``TPU.APPROX_TOPK``; 8.5x at 240k rows, recall 0.998, PERF.md)."""
     kmax = max(ks)
     idx, _ = topk_neighbors(query_emb, bank_emb, k=kmax, metric=metric,
-                            exclude_self=exclude_self)
+                            exclude_self=exclude_self, approx=approx)
     idx = np.asarray(idx)
     neighbor_labels = bank_labels[idx]  # (N, kmax)
     hit = neighbor_labels == query_labels[:, None]

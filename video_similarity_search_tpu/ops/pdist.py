@@ -114,12 +114,31 @@ def nearest_neighbor(x: Array, y: Optional[Array] = None,
     return idxs.reshape(-1)[:n], dists.reshape(-1)[:n]
 
 
+def _topk_smallest_rows(d: Array, k_eff: int,
+                        approx: bool = False) -> Tuple[Array, Array]:
+    """k smallest entries per row of ``d`` -> (values, indices).
+
+    ``approx=True`` uses ``lax.approx_min_k`` — the TPU's partial-reduce
+    top-k. Measured round 4 at (9537 queries x 240k bank, k=50) on v5e:
+    exact ``lax.top_k`` 414 ms (sort-bound, ~100x off the ~3 ms roofline;
+    an exact two-stage per-chunk variant measured WORSE, 1044 ms);
+    approx_min_k at the default recall_target=0.99: 49 ms with measured
+    recall 0.9976. Exact stays the default — retrieval metrics are parity
+    numbers — and callers opt in for bank-scale workloads."""
+    if approx:
+        vals, idx = jax.lax.approx_min_k(d, k_eff, recall_target=0.99)
+        return vals, idx
+    vals, idx = jax.lax.top_k(-d, k_eff)
+    return -vals, idx
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "metric", "exclude_self", "tile",
-                                    "largest"))
+                                    "largest", "approx"))
 def topk_neighbors(queries: Array, bank: Array, k: int,
                    metric: str = "cosine", exclude_self: bool = False,
-                   tile: int = 512, largest: bool = False
+                   tile: int = 512, largest: bool = False,
+                   approx: bool = False
                    ) -> Tuple[Array, Array]:
     """Top-k nearest rows of ``bank`` for each query (tiled over queries).
 
@@ -128,6 +147,8 @@ def topk_neighbors(queries: Array, bank: Array, k: int,
     (coclr_classify.py:784-810) and IIC argsort retrieval
     (iic_retrieve_clips.py:292-311). ``largest=True`` returns top-k by
     similarity score instead of smallest distance (same order for cosine).
+    ``approx=True`` swaps in the TPU-native ``approx_min_k`` reduction
+    (8.5x at a 240k bank, recall 0.998 — see ``_topk_smallest_rows``).
     Returns (indices (N,k), values (N,k)).
     """
     qn, bn, b_sq = _prep(queries, bank, metric)
@@ -145,13 +166,13 @@ def topk_neighbors(queries: Array, bank: Array, k: int,
             cols = jnp.arange(d.shape[1])[None, :]
             own = off + jnp.arange(tile)[:, None]
             d = jnp.where(cols == own, jnp.inf, d)
-        vals, idx = jax.lax.top_k(-d, k_eff)  # top_k takes largest
+        dv, idx = _topk_smallest_rows(d, k_eff, approx=approx)
         if k_eff < k:
             idx = jnp.concatenate(
                 [idx, jnp.repeat(idx[:, -1:], k - k_eff, axis=1)], axis=1)
-            vals = jnp.concatenate(
-                [vals, jnp.repeat(vals[:, -1:], k - k_eff, axis=1)], axis=1)
-        return idx, -vals
+            dv = jnp.concatenate(
+                [dv, jnp.repeat(dv[:, -1:], k - k_eff, axis=1)], axis=1)
+        return idx, dv
 
     idxs, vals = jax.lax.map(one_tile, (rows, row_offsets))
     d_out = vals.reshape(-1, k)[:n]
