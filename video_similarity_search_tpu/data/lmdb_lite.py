@@ -152,6 +152,8 @@ class LiteEnv:
                 if i > 0 and k > key:
                     break
                 child = lohi | (nflags << 32)
+            if child is None:
+                raise ValueError(f"page {pgno}: empty branch page")
             pgno = child
         raise ValueError("B+tree deeper than 64 levels (corrupt file?)")
 
@@ -328,8 +330,9 @@ def write_lmdb(path: str, mapping: Dict[bytes, bytes],
         off = HDR
         _META.pack_into(buf, off, MAGIC, DATA_VERSION, 0, mapsize)
         off += _META.size
-        # FREE_DBI: page size in pad, empty tree
-        _DB.pack_into(buf, off, PAGE_SIZE, 0, 0, 0, 0, 0, 0, P_INVALID)
+        # FREE_DBI: page size in pad, MDB_INTEGERKEY flags (0x08, as
+        # liblmdb writes for its freelist DB), empty tree
+        _DB.pack_into(buf, off, PAGE_SIZE, 0x08, 0, 0, 0, 0, 0, P_INVALID)
         off += _DB.size
         # MAIN_DBI
         _DB.pack_into(buf, off, 0, 0, depth, n_branch, len(leaves),

@@ -85,6 +85,23 @@ def build_temporal_transforms(cfg, triplets: bool = True):
     return TemporalCompose([TemporalCenterCrop(d)])
 
 
+_TOUCH_JIT = None
+
+
+def _touch_jit():
+    """One shared jitted reduce used to force device uploads (cached so
+    per-batch calls reuse one trace per shape set instead of building a
+    fresh jit wrapper every batch)."""
+    global _TOUCH_JIT
+    if _TOUCH_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        _TOUCH_JIT = jax.jit(
+            lambda xs: sum(x.ravel()[0].astype(jnp.float32) for x in xs))
+    return _TOUCH_JIT
+
+
 class PrefetchLoader:
     """Batched, shuffled, thread-prefetched iterator over a dataset.
 
@@ -128,7 +145,6 @@ class PrefetchLoader:
         reduce and materializing the scalar forces the transfer to finish
         here, in the prefetch thread, overlapped with decode."""
         import jax
-        import jax.numpy as jnp
 
         out = dict(batch)
         touched = []
@@ -138,9 +154,8 @@ class PrefetchLoader:
                 out[k] = dv
                 touched.append(dv)
         if touched:
-            tot = jax.jit(lambda xs: sum(
-                x.ravel()[0].astype(jnp.float32) for x in xs))(touched)
-            float(tot)  # materialize: upload is complete past this point
+            # materialize: upload is complete past this point
+            float(_touch_jit()(touched))
         return out
 
     def set_epoch(self, epoch: int) -> None:

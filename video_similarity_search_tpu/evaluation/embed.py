@@ -22,16 +22,20 @@ from ..data.augment import normalize_only
 from ..train.steps import make_embed_step
 
 
-def _pad_clips(arr: np.ndarray, quantum: int) -> Tuple[np.ndarray, int]:
+def _pad_clips(arr, quantum: int) -> Tuple[np.ndarray, int]:
     """Pad the leading (clip) axis up to a multiple of ``quantum`` so the
     jitted embed step sees a bounded set of static shapes (multi-window
     test batches flatten a variable number of windows per batch; the
-    item-level loader padding cannot make that static)."""
+    item-level loader padding cannot make that static).
+
+    Device arrays (loader ``device_upload``) pad in jnp — np.concatenate
+    on a jax.Array would silently download it back to host."""
     n = arr.shape[0]
     target = max(quantum, -(-n // quantum) * quantum)
     if n == target:
         return arr, n
-    return np.concatenate([arr, np.repeat(arr[-1:], target - n, axis=0)]), n
+    xp = jnp if isinstance(arr, jax.Array) else np
+    return xp.concatenate([arr, xp.repeat(arr[-1:], target - n, axis=0)]), n
 
 
 def get_embeddings_and_labels(state, model, cfg, loader, *,
