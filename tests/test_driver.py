@@ -459,3 +459,49 @@ def test_pretrain_path_loads_weights_only(synth, tmp_path):
                        "train_loss_and_acc.txt")
     lines = open(log).read().splitlines()
     assert len(lines) == 1 and lines[0].startswith("epoch:0")
+
+
+def test_encode_views_matches_sequential_encodes():
+    """Round-4 batched multi-view encode (_encode_views): features AND the
+    merged running statistics must equal the sequential per-view form the
+    reference uses (view1's running-stat update feeding view2's), since
+    vmap keeps per-view batch statistics and the stat merge telescopes the
+    flax r' = m*r + (1-m)*s update exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_similarity_search_tpu.config import get_cfg
+    from video_similarity_search_tpu.models import model_selector
+    from video_similarity_search_tpu.train import create_train_state
+    from video_similarity_search_tpu.train.steps import (_encode,
+                                                         _encode_views)
+
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "3dresnet"
+    cfg.RESNET.MODEL_DEPTH = 10
+    cfg.RESNET.NO_MAX_POOl = True
+    cfg.RESNET.HIDDEN_LAYER = 32
+    cfg.RESNET.OUT_DIM = 8
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = model_selector(cfg)
+    state = create_train_state(jax.random.key(0), model, cfg,
+                               jnp.zeros((2, 4, 16, 16, 3)))
+
+    rng = np.random.default_rng(0)
+    v1 = jnp.asarray(rng.normal(size=(4, 4, 16, 16, 3)) * 0.3, jnp.float32)
+    v2 = jnp.asarray(rng.normal(size=(4, 4, 16, 16, 3)) * 0.3, jnp.float32)
+
+    f1_seq, bs1 = _encode(state, state.params, v1, cfg, train=True)
+    f2_seq, bs2_seq = _encode(state.replace(batch_stats=bs1), state.params,
+                              v2, cfg, train=True)
+
+    feats, bs_merged = _encode_views(state, state.params,
+                                     jnp.stack([v1, v2]), cfg)
+    np.testing.assert_allclose(np.asarray(feats[0]), np.asarray(f1_seq),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(feats[1]), np.asarray(f2_seq),
+                               rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(bs2_seq), jax.tree.leaves(bs_merged)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)

@@ -48,6 +48,55 @@ def _encode(state: TrainState, params, clips, cfg, train: bool,
     return out, new_bs
 
 
+_BN_MOMENTUM = 0.9  # flax nn.BatchNorm momentum used by models.layers
+
+
+def _encode_views(state: TrainState, params, views, cfg, rngs=None):
+    """Encode V stacked views (V, B, T, H, W, C) in ONE batched program.
+
+    Round-4 optimization for the contrastive paths: the reference (and
+    round 3 here) runs each view through a separate forward — on TPU two
+    sequential B-clip forwards tile at the small-batch rate (36% MFU at
+    B=64) while one 2B-clip call sits in the 52% regime (PERF.md). A
+    ``jax.vmap`` over the view axis collapses into the conv batch dim, so
+    XLA sees 2B clips per conv, while BatchNorm still normalizes each
+    view by ITS OWN batch statistics (the vmapped axis is never reduced)
+    — identical normalization to the sequential per-call form.
+
+    Running statistics are then merged to the exact sequential update:
+    flax BN does r' = m*r + (1-m)*s per call, so with per-view results
+    M_v = m*r0 + (1-m)*s_v the chained update telescopes to
+    r_k = m*r_{k-1} + (M_v - m*r0). Same numbers as calling the encoder
+    view-by-view (up to float association).
+
+    Returns (feats (V, B, D), merged batch_stats)."""
+    if cfg.MODEL.ARCH == "slowfast":
+        views = jax.vmap(lambda v: multipathway_input(
+            v, cfg.SLOWFAST.ALPHA, fast_mask=cfg.SLOWFAST.FAST_MASK))(views)
+
+    def one(clips):
+        out, mut = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats}, clips,
+            train=True, mutable=["batch_stats"], rngs=rngs)
+        if isinstance(out, tuple):
+            out = out[0]
+        return out, mut["batch_stats"]
+
+    feats, muts = jax.vmap(one)(views)
+
+    m = _BN_MOMENTUM
+    n_views = jax.tree_util.tree_leaves(views)[0].shape[0]
+
+    def merge(r0, mut_stack):
+        r = r0
+        for v in range(n_views):
+            r = m * r + (mut_stack[v] - m * r0)
+        return r
+
+    new_bs = jax.tree.map(merge, state.batch_stats, muts)
+    return feats, new_bs
+
+
 def diff_view(x: jnp.ndarray) -> jnp.ndarray:
     """Residual 'res' modality view: frame difference rescaled to [0,1]
     (reference online_train.py:228-230; roll over the T axis)."""
@@ -157,11 +206,15 @@ def make_contrastive_train_step(cfg, n_data: int, modality: str = "rgb",
             view1 = batch["view1"]
             view2 = (diff_view(view1) if modality == "res"
                      else batch["view2"])
-            feat1, bs1 = _encode(state, params, view1, cfg, train=True,
-                                 rngs={"dropout": drop_key})
-            st = state.replace(batch_stats=bs1)
-            feat2, bs2 = _encode(st, params, view2, cfg, train=True,
-                                 rngs={"dropout": drop_key})
+            # all views encode in ONE batched forward (2B/3B clips per
+            # conv — the large-batch tiling regime) with per-view BN
+            # statistics; see _encode_views
+            views = [view1, view2]
+            if intra_neg and not use_moco:
+                views.append(shuffle_view(view1, view_key))
+            feats, bs2 = _encode_views(state, params, jnp.stack(views),
+                                       cfg, rngs={"dropout": drop_key})
+            feat1, feat2 = feats[0], feats[1]
             if use_moco:
                 # view1 queries / view2 keys advance the queue; view2's
                 # logits score against the SAME pre-update memory
@@ -172,13 +225,8 @@ def make_contrastive_train_step(cfg, n_data: int, modality: str = "rgb",
                                            n_data=n_data)
                 new_nce = new_mm
             elif intra_neg:
-                neg_view = shuffle_view(view1, view_key)
-                st = state.replace(batch_stats=bs2)
-                feat_neg, bs2 = _encode(st, params, neg_view, cfg,
-                                        train=True,
-                                        rngs={"dropout": drop_key})
                 out1, out2, new_nce = nce_average_intra_neg(
-                    state.nce, feat1, feat2, feat_neg, batch["index"],
+                    state.nce, feat1, feat2, feats[2], batch["index"],
                     nce_key, K=K, T=T, momentum=M, use_softmax=use_softmax)
             else:
                 out1, out2, new_nce = nce_average(
