@@ -505,3 +505,48 @@ def test_encode_views_matches_sequential_encodes():
     for a, b in zip(jax.tree.leaves(bs2_seq), jax.tree.leaves(bs_merged)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_slowfast_contrastive_step_batched_views():
+    """ARCH='slowfast' through the round-4 batched-view contrastive step:
+    multipathway splitting happens per view under the vmap (list-of-
+    pathways pytree), BN stays per-view."""
+    import jax.numpy as jnp
+
+    from video_similarity_search_tpu.models import model_selector
+    from video_similarity_search_tpu.models.slowfast import \
+        multipathway_input
+    from video_similarity_search_tpu.train import (
+        create_train_state, make_contrastive_train_step)
+
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.SLOWFAST.DEPTH = 50
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.OUT_DIM = 16
+    cfg.DATA.SAMPLE_DURATION = 8
+    cfg.DATA.SAMPLE_SIZE = 32
+    cfg.LOSS.TYPE = "contrastive"
+    cfg.LOSS.FEAT_DIM = 16
+    cfg.LOSS.K = 4
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    model = model_selector(cfg)
+    sample = multipathway_input(jnp.zeros((2, 8, 32, 32, 3)), 4)
+    state = create_train_state(jax.random.key(0), model, cfg, sample)
+    from video_similarity_search_tpu.losses import init_nce_state
+    state = state.replace(nce=init_nce_state(
+        jax.random.key(2), n_data=8, feat_dim=16))
+    step = make_contrastive_train_step(cfg, n_data=8)
+
+    rng = np.random.default_rng(0)
+    b = 2
+    batch = {
+        "view1": jnp.asarray(rng.normal(size=(b, 8, 32, 32, 3)),
+                             jnp.float32),
+        "view2": jnp.asarray(rng.normal(size=(b, 8, 32, 32, 3)),
+                             jnp.float32),
+        "index": jnp.arange(b, dtype=jnp.int32),
+    }
+    state, m = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
