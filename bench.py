@@ -105,13 +105,17 @@ def main():
     # tracking) AND at the measured per-chip optimum (64 -> 2B=128 clips
     # tiles the MXU; the sweep is jagged, PERF.md round-3 table)
     if os.environ.get("BENCH_SKIP_TRAIN"):  # embed-only sweeps
-        train, train_opt = {}, {}
+        train, train_opt, contrastive = {}, {}, {}
     else:
         train = train_step_bench(flops_per_clip, peak)
         train_opt = {k.replace("train_", "train_opt_"): v for k, v in
                      train_step_bench(flops_per_clip, peak, batch=int(
                          os.environ.get("BENCH_TRAIN_OPT_BATCH", "64")
                      )).items()}
+        try:  # round-4 batched-view contrastive step (never fails bench)
+            contrastive = contrastive_step_bench(flops_per_clip, peak)
+        except Exception as e:  # noqa: BLE001
+            contrastive = {"contrastive_error": str(e)[:120]}
     print(json.dumps({
         "metric": "r3d18_embed_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
@@ -136,6 +140,7 @@ def main():
         # optimum B=64 (PERF.md 'Training throughput')
         **train,
         **train_opt,
+        **contrastive,
     }))
 
 
@@ -187,6 +192,58 @@ def train_step_bench(flops_per_clip: float, peak_tflops: float,
         "train_step_ms": round(best * 1e3, 1),
         "train_mfu": round(train_tflops / peak_tflops, 4),
         "train_batch": batch,
+    }
+
+
+def contrastive_step_bench(flops_per_clip: float, peak_tflops: float,
+                           batch: int = 64):
+    """Contrastive NCE train step (round-4 batched-view forward: all
+    views in one 2B-clip conv batch — PERF.md 'Non-triplet training
+    paths', +41% over sequential views)."""
+    import argparse
+
+    import numpy as np
+
+    from video_similarity_search_tpu.config import get_cfg
+    from video_similarity_search_tpu.models import model_selector
+    from video_similarity_search_tpu.train.driver import _make_step_and_state
+
+    t, s = 16, 128
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "3dresnet"
+    cfg.RESNET.MODEL_DEPTH = 18
+    cfg.RESNET.NO_MAX_POOl = True
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.TRAIN.BATCH_SIZE = batch
+    cfg.LOSS.TYPE = "contrastive"
+    cfg.LOSS.FEAT_DIM = 128
+    cfg.LOSS.K = 1024
+    fake_args = argparse.Namespace(checkpoint_path=None, start_epoch=None,
+                                   iterative_cluster=False, vector=False)
+    step, state = _make_step_and_state(fake_args, cfg, model_selector(cfg),
+                                       n_data=8192, mesh=None)
+    rng = np.random.default_rng(0)
+    b = batch
+    bd = {"view1": jnp.asarray(rng.normal(size=(b, t, s, s, 3)) * 0.3,
+                               jnp.bfloat16),
+          "view2": jnp.asarray(rng.normal(size=(b, t, s, s, 3)) * 0.3,
+                               jnp.bfloat16),
+          "index": jnp.arange(b, dtype=jnp.int32)}
+    state, m = step(state, bd, jax.random.key(1))
+    float(m["loss"])
+    best = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        state, m = step(state, bd, jax.random.key(2 + i))
+        float(m["loss"])
+        best = min(best, time.perf_counter() - t0)
+    clips = 2 * b / best
+    return {
+        "contrastive_clips_per_sec": round(clips, 1),
+        "contrastive_step_ms": round(best * 1e3, 1),
+        "contrastive_mfu": round(clips * 3 * flops_per_clip / 1e12
+                                 / peak_tflops, 4),
+        "contrastive_batch": batch,
     }
 
 

@@ -378,14 +378,21 @@ def test_moco_step_overfits_fixed_batch():
                              jnp.float32),
         "index": jnp.arange(b, dtype=jnp.int32),
     }
+    # MoCo's loss intrinsically RISES for the first steps (real keys
+    # entering the queue become hard negatives) before learning drives it
+    # down — the measured trajectory settles ~2.0 by step ~12 from a 4.9
+    # start. 8 steps was too short a horizon and the old endpoint check
+    # flipped on float-association-level trajectory shifts.
+    n_steps = 25
     losses = []
-    for i in range(8):
+    for i in range(n_steps):
         state, metrics = step(state, batch, jax.random.key(i))
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
-    assert losses[-1] < losses[0], losses
+    assert float(np.mean(losses[-5:])) < losses[0], losses
     # queue advanced by b per step, modulo K
-    assert int(np.asarray(state.memory_moco.index)) == (8 * b) % cfg.LOSS.K
+    assert int(np.asarray(state.memory_moco.index)) == \
+        (n_steps * b) % cfg.LOSS.K
 
 
 def test_driver_moco_end_to_end(synth, tmp_path):
