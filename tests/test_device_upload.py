@@ -36,12 +36,16 @@ def _loader(**kw):
 def test_device_upload_moves_big_leaves():
     batches = list(_loader(device_upload=True))
     assert len(batches) == 3
-    for b in batches:
+    # shape-stability gate: the FIRST batch of a new shape signature stays
+    # on host (uploading it would compile a fresh touch program per shape
+    # — pathological for variable-window eval batches); repeats upload
+    assert isinstance(batches[0]["anchor"], np.ndarray)
+    for b in batches[1:]:
         assert isinstance(b["anchor"], jax.Array)      # big: uploaded
         assert isinstance(b["targets"], np.ndarray)    # small: stays host
         assert isinstance(b["__size__"], int)
     # values survive the round trip
-    assert int(np.asarray(batches[0]["anchor"])[1, 0, 0, 0, 0]) == 1
+    assert int(np.asarray(batches[1]["anchor"])[1, 0, 0, 0, 0]) == 5
     # padded tail keeps the mask/size bookkeeping
     assert batches[-1]["__size__"] == 2
     assert batches[-1]["__valid__"].sum() == 2
@@ -55,15 +59,55 @@ def test_device_upload_off_keeps_numpy():
 def test_shard_host_batch_passes_device_leaves_through():
     mesh = make_mesh()
     # batch size must divide the 8-device test mesh
-    ld = PrefetchLoader(_DS(), 8, shuffle=False, drop_last=True,
+    class DS16(_DS):
+        def __len__(self):
+            return 16
+
+    ld = PrefetchLoader(DS16(), 8, shuffle=False, drop_last=True,
                         collate=_collate, num_workers=1, device_upload=True)
-    b = next(iter(ld))
+    batches = list(ld)
+    b = batches[1]  # first batch stays host (shape-stability gate)
     assert isinstance(b["anchor"], jax.Array)
     out = _shard_host_batch(mesh, b, ["anchor", "targets"])
     assert out["anchor"].shape == (8, 4, 64, 64, 3)
     assert len(out["anchor"].sharding.device_set) == len(jax.devices())
     np.testing.assert_array_equal(np.asarray(out["targets"]),
-                                  np.arange(8))
+                                  np.arange(8, 16))
+
+
+def test_upload_skips_unstable_shapes():
+    """Variable-shape batches (multi-window eval flattening) must NOT
+    upload — each distinct shape would compile a fresh touch program in
+    the producer thread."""
+    ld = _loader(device_upload=True)
+    a = {"x": np.zeros((4, 128, 128, 3), np.uint8)}
+    b = {"x": np.zeros((5, 128, 128, 3), np.uint8)}
+    assert isinstance(ld._upload(dict(a))["x"], np.ndarray)   # first sight
+    assert isinstance(ld._upload(dict(a))["x"], jax.Array)    # repeat: up
+    assert isinstance(ld._upload(dict(b))["x"], np.ndarray)   # new shape
+    assert isinstance(ld._upload(dict(b))["x"], jax.Array)    # repeat: up
+
+
+def test_upload_sharding_lands_on_the_mesh():
+    """With upload_sharding set (driver, multi-chip single-process), the
+    producer uploads the sharded batch directly — no device-0 staging."""
+    from video_similarity_search_tpu.parallel import batch_sharding
+
+    mesh = make_mesh()
+    ld = PrefetchLoader(_DS(), 8, shuffle=False, drop_last=True,
+                        collate=_collate, num_workers=1, device_upload=True)
+    ld.upload_sharding = batch_sharding(mesh)
+    batch = {"x": np.zeros((8, 64, 64, 3), np.uint8)}
+    ld._upload(dict(batch))            # prime the shape signature
+    out = ld._upload(dict(batch))
+    assert isinstance(out["x"], jax.Array)
+    assert len(out["x"].sharding.device_set) == len(jax.devices())
+    # a leaf that doesn't divide the mesh falls back to single-device
+    odd = {"x": np.zeros((9, 64, 64, 3), np.uint8)}
+    ld._upload(dict(odd))
+    out = ld._upload(dict(odd))
+    assert isinstance(out["x"], jax.Array)
+    assert len(out["x"].sharding.device_set) == 1
 
 
 def test_abandoned_iterator_shuts_down_cleanly():

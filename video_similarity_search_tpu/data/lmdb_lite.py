@@ -70,17 +70,22 @@ def _db_file(path: str) -> str:
 # ---------------------------------------------------------------------------
 
 class LiteEnv:
-    """Read-only LMDB environment: ``get()`` + key iteration."""
+    """Read-only LMDB environment: ``get()`` + key iteration.
+
+    Thread-safe: all reads go through ``os.pread`` on one fd (no shared
+    seek cursor), so the datasets' thread-pooled ``__getitem__`` calls can
+    ``get()`` concurrently — the shared-handle seek+read form interleaved
+    under PrefetchLoader's pool and returned wrong pages."""
 
     def __init__(self, path: str):
-        self._f = open(_db_file(path), "rb")
-        metas = []
-        for pg in (0, 1):
-            self._f.seek(pg * PAGE_SIZE + HDR)
-            raw = self._f.read(_META.size + 2 * _DB.size + 16)
+        self._fd = os.open(_db_file(path), os.O_RDONLY)
+
+        def read_meta(offset: int, which: int):
+            raw = os.pread(self._fd, _META.size + 2 * _DB.size + 16,
+                           offset + HDR)
             magic, version, _addr, _mapsize = _META.unpack_from(raw, 0)
             if magic != MAGIC:
-                raise ValueError(f"not an LMDB file (meta {pg} magic "
+                raise ValueError(f"not an LMDB file (meta {which} magic "
                                  f"{magic:#x} != {MAGIC:#x})")
             if version != DATA_VERSION:
                 raise ValueError(f"unsupported LMDB data version {version}")
@@ -88,15 +93,23 @@ class LiteEnv:
             main_db = _DB.unpack_from(raw, _META.size + _DB.size)
             last_pg, txnid = struct.unpack_from(
                 "<QQ", raw, _META.size + 2 * _DB.size)
-            metas.append((txnid, free_db, main_db, last_pg))
-        txnid, free_db, main_db, _ = max(metas, key=lambda m: m[0])
-        self.page_size = free_db[0] or PAGE_SIZE   # mm_psize = dbs[0].pad
+            return txnid, free_db, main_db, last_pg
+
+        # meta 0 always starts at offset 0; it carries the REAL page size
+        # (dbs[0].pad), which locates meta 1 — files written on hosts with
+        # a non-4096 OS page size put meta 1 at that stride
+        meta0 = read_meta(0, 0)
+        psize = meta0[1][0] or PAGE_SIZE
+        meta1 = read_meta(psize, 1)
+        txnid, free_db, main_db, _ = max((meta0, meta1),
+                                         key=lambda m: m[0])
+        self.page_size = psize
         self.root = main_db[7]
         self.depth = main_db[2]
         self.entries = main_db[6]
 
     def close(self) -> None:
-        self._f.close()
+        os.close(self._fd)
 
     def __enter__(self):
         return self
@@ -105,8 +118,7 @@ class LiteEnv:
         self.close()
 
     def _page(self, pgno: int) -> bytes:
-        self._f.seek(pgno * self.page_size)
-        return self._f.read(self.page_size)
+        return os.pread(self._fd, self.page_size, pgno * self.page_size)
 
     def _nodes(self, page: bytes) -> Iterator[Tuple[bytes, int, int, int]]:
         """Yield (key, lo|hi<<16, node_flags, value_offset) per node."""
@@ -126,8 +138,8 @@ class LiteEnv:
             _, _, pflags, _count = _PGHDR_OVF.unpack_from(ovf, 0)
             if not pflags & P_OVERFLOW:
                 raise ValueError(f"page {ovf_pgno}: expected overflow page")
-            self._f.seek(ovf_pgno * self.page_size + HDR)
-            return self._f.read(size)
+            return os.pread(self._fd, size,
+                            ovf_pgno * self.page_size + HDR)
         return page[voff:voff + size]
 
     def get(self, key: bytes) -> Optional[bytes]:

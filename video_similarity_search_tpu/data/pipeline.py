@@ -131,6 +131,16 @@ class PrefetchLoader:
         self.shard_index = shard_index
         self.num_shards = num_shards
         self.device_upload = device_upload
+        # optional NamedSharding for uploads: on a multi-chip mesh the
+        # producer should shard the batch directly instead of staging
+        # whole global batches on device 0 (the consumer would otherwise
+        # reshard through a chip-0 hop and pin its HBM); set by the
+        # driver after construction when a mesh exists
+        self.upload_sharding = None
+        self._upload_shape_sig = None
+        self._atexit_registered = False
+        # current producer (stop event, thread) for the single exit hook
+        self._live: Optional[Tuple] = None
 
     # large array leaves are worth an early upload; small metadata stays host
     _UPLOAD_MIN_BYTES = 1 << 16
@@ -143,16 +153,37 @@ class PrefetchLoader:
         executable that consumes the buffer at ~35 MB/s on the execute
         path); touching every uploaded buffer with one trivial jitted
         reduce and materializing the scalar forces the transfer to finish
-        here, in the prefetch thread, overlapped with decode."""
+        here, in the prefetch thread, overlapped with decode.
+
+        Shape-stability gate: the touch program (and any consumer jit)
+        specializes on shapes, and multi-window eval batches flatten a
+        VARIABLE clip count — uploading those would compile a fresh
+        program per batch and serialize uploads behind compiles. Upload
+        only when the big-leaf shape signature repeats (train loaders:
+        always after the first batch; unstable eval loaders fall back to
+        host batches)."""
         import jax
+
+        big = {k: v for k, v in batch.items()
+               if isinstance(v, np.ndarray)
+               and v.nbytes >= self._UPLOAD_MIN_BYTES}
+        sig = tuple(sorted((k, v.shape) for k, v in big.items()))
+        stable = sig == self._upload_shape_sig
+        self._upload_shape_sig = sig
+        if not big or not stable:
+            return batch
 
         out = dict(batch)
         touched = []
-        for k, v in batch.items():
-            if isinstance(v, np.ndarray) and v.nbytes >= self._UPLOAD_MIN_BYTES:
-                dv = jax.device_put(v)
-                out[k] = dv
-                touched.append(dv)
+        for k, v in big.items():
+            sh = self.upload_sharding
+            if sh is not None and v.shape[0] % max(
+                    1, getattr(sh, "num_devices", 1)) != 0:
+                sh = None  # non-divisible leaf: single-device fallback
+            dv = jax.device_put(v, sh) if sh is not None \
+                else jax.device_put(v)
+            out[k] = dv
+            touched.append(dv)
         if touched:
             # materialize: upload is complete past this point
             float(_touch_jit()(touched))
@@ -243,12 +274,22 @@ class PrefetchLoader:
         # XLA call (device_upload) aborts the process with a C++ terminate.
         # threading's internal atexit hooks run BEFORE non-daemon joins /
         # runtime teardown, so stop the producer and give it a moment to
-        # leave any in-flight upload.
-        try:
-            threading._register_atexit(
-                lambda: (stop.set(), thread.join(timeout=5)))
-        except Exception:  # registration after shutdown began, or no API
-            pass
+        # leave any in-flight upload. ONE callback per loader (tracking
+        # the CURRENT producer) — registering per-__iter__ would
+        # accumulate a callback per epoch for the process lifetime.
+        self._live = (stop, thread)
+        if not self._atexit_registered:
+            def _drain():
+                live = self._live
+                if live is not None:
+                    live[0].set()
+                    live[1].join(timeout=5)
+
+            try:
+                threading._register_atexit(_drain)
+                self._atexit_registered = True
+            except Exception:  # registration after shutdown began / no API
+                pass
 
         def gen():
             try:

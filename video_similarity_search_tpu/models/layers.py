@@ -68,6 +68,13 @@ class Conv3d(nn.Module):
         )(x)
 
 
+# running-average momentum shared by BatchNorm / SubBatchNorm; the
+# batched-view encode (train/steps.py::_encode_views) telescopes
+# this exact update when merging per-view statistics — import it
+# from here so the two cannot drift
+BN_MOMENTUM = 0.9
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch-equivalent defaults (momentum 0.1, eps 1e-5).
 
@@ -90,7 +97,7 @@ class BatchNorm(nn.Module):
         )
         return nn.BatchNorm(
             use_running_average=ura,
-            momentum=0.9,
+            momentum=BN_MOMENTUM,
             epsilon=1e-5,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
@@ -140,7 +147,7 @@ class SubBatchNorm(nn.Module):
             agg_mean = jnp.mean(mean, axis=0)
             agg_var = (jnp.mean(var, axis=0)
                        + jnp.mean((mean - agg_mean) ** 2, axis=0))
-            momentum = 0.9
+            momentum = BN_MOMENTUM
             if not self.is_initializing():
                 ra_mean.value = momentum * ra_mean.value + \
                     (1 - momentum) * agg_mean

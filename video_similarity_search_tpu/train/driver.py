@@ -40,7 +40,8 @@ from ..data import build_data_loader, train_augment, write_cluster_labels
 from ..data.augment import normalize_only
 from ..evaluation import get_embeddings_and_labels, validate
 from ..evaluation.knn import k_nearest_embeddings
-from ..parallel import is_master_proc, make_mesh, replicate, shard_batch
+from ..parallel import (batch_sharding, is_master_proc, make_mesh,
+                        replicate, shard_batch)
 from ..utils.meters import AverageMeter, append_metric_line
 from ..utils.profiling import StepProfiler, Throughput
 from .state import create_train_state
@@ -408,6 +409,15 @@ def train(args, cfg) -> None:
     assert cfg.TRAIN.BATCH_SIZE % nproc == 0, (
         f"TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} must divide across "
         f"{nproc} hosts")
+    def with_upload_sharding(loader):
+        # producer-side uploads go straight to the mesh sharding on
+        # multi-chip single-process runs — otherwise every batch stages
+        # whole on device 0 and reaches the other chips via a reshard hop
+        if loader.device_upload and mesh is not None \
+                and len(mesh.devices.flat) > 1:
+            loader.upload_sharding = batch_sharding(mesh)
+        return loader
+
     def make_train_loader():
         # ONE builder for both the initial construction and the post-cluster
         # rebuild so the per-host batch division can never diverge between
@@ -416,7 +426,7 @@ def train(args, cfg) -> None:
         loader, _ = build_data_loader(
             "train", cfg, is_master, triplets=True, shard_index=proc,
             num_shards=nproc, batch_size=cfg.TRAIN.BATCH_SIZE // nproc)
-        return loader
+        return with_upload_sharding(loader)
 
     train_loader = make_train_loader()
     val_loader, _ = build_data_loader("val", cfg, is_master, triplets=True,
@@ -427,6 +437,8 @@ def train(args, cfg) -> None:
     eval_val_loader, _ = build_data_loader(
         "val", cfg, is_master, triplets=False, val_sample=None,
         drop_last=False)
+    for _ld in (val_loader, eval_train_loader, eval_val_loader):
+        with_upload_sharding(_ld)
 
     step_fn, state = _make_step_and_state(
         args, cfg, model, len(train_loader.dataset), mesh,

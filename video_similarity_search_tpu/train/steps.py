@@ -23,6 +23,7 @@ from ..losses import (INTRA_NEG_LAMBDA, RSP_LAMBDA, intra_neg_loss, llc_loss,
                       nce_average_intra_neg, nce_criterion, nce_softmax_loss,
                       online_triplet_loss, rsp_loss)
 from ..losses.nce import memory_moco_logits
+from ..models.layers import BN_MOMENTUM as _BN_MOMENTUM
 from ..models.moco import (dequeue_and_enqueue, infonce_forward,
                            momentum_update, ubernce_forward)
 from ..models.slowfast import multipathway_input
@@ -46,9 +47,6 @@ def _encode(state: TrainState, params, clips, cfg, train: bool,
     if isinstance(out, tuple):
         out = out[0]
     return out, new_bs
-
-
-_BN_MOMENTUM = 0.9  # flax nn.BatchNorm momentum used by models.layers
 
 
 def _encode_views(state: TrainState, params, views, cfg, rngs=None):
