@@ -126,6 +126,26 @@ def test_all_semi_hard_finite_and_positive():
     assert int(count) > 0
 
 
+def test_all_semi_hard_few_negatives_excludes_same_label():
+    """Round-4 fix: a class-imbalanced batch where some pair has fewer
+    than 5 other-label samples must NOT smuggle -inf-scored same-label
+    rows (incl. the anchor itself, distance 0 -> exp(2)) into the InfoNCE
+    denominator. With only TWO valid negatives, the denominator holds at
+    most those two terms: the loss is bounded by the 2-negative InfoNCE
+    worst case instead of blowing past it with 3 phantom terms."""
+    rng = np.random.default_rng(3)
+    emb = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    labels = jnp.asarray([0, 0, 0, 0, 0, 0, 1, 1], jnp.int32)
+    loss, count = online_triplet_loss(emb, labels, KEY,
+                                      sampling_strategy="all_semi_hard")
+    assert np.isfinite(float(loss))
+    # analytic bound: per pair -log(ap / (ap + sum of <=2 real negative
+    # sims)) <= -log(ap_min / (ap_min + 2*e^2)) with sims in [e^0, e^4]
+    ap_min = np.exp((1.0 - 2.0) / 0.5)        # farthest possible positive
+    bound = -np.log(ap_min / (ap_min + 2 * np.exp((1.0 + 1.0) / 0.5)))
+    assert float(loss) <= bound + 1e-5, (float(loss), bound)
+
+
 def test_mem_triplet_queue_rolls():
     state = init_mem_triplet_state(KEY, K=40, dim=8)
     emb = jnp.asarray(RNG.normal(size=(10, 8)).astype(np.float32))
@@ -196,6 +216,14 @@ def test_combo_losses():
     # small margin: d(anc, anc2)=0 vs d(anc,pos)>0
     v = float(llc_loss(a, b, a, margin=0.0))
     assert v == pytest.approx(0.0, abs=1e-6)
+    # intra-neg DIRECTION (round-4 fix of a latent reference copy-paste
+    # defect): the shuffled clip must sit FARTHER than the positive, so a
+    # shuffled clip identical to the anchor (d=0) is maximally punished
+    # while a positive identical to the anchor gives ~zero loss
+    bad = float(intra_neg_loss(a, b, a))     # shuffled == anchor: worst
+    good = float(intra_neg_loss(a, a, c))    # positive == anchor: ideal
+    assert bad > good
+    assert good == pytest.approx(0.0, abs=1e-5)
 
 
 def test_mem_triplet_wired_into_triplet_step():

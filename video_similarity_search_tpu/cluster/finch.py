@@ -149,6 +149,14 @@ def FINCH(data, initial_rank=None, req_clust: Optional[int] = None,
     if req_clust is not None:
         if req_clust in num_clust:
             req_c = c[:, num_clust.index(req_clust)]
+        elif req_clust > num_clust[0]:
+            # more clusters requested than the finest partition has: the
+            # reference crashes here (clustering/finch.py:170 indexes an
+            # empty candidate list); return the finest partition with a
+            # warning instead
+            print(f"FINCH: req_clust={req_clust} exceeds the finest "
+                  f"partition ({num_clust[0]} clusters); returning it")
+            req_c = c[:, 0]
         else:
             candidates = [i for i, v in enumerate(num_clust) if v >= req_clust]
             req_c = _req_numclust(c[:, candidates[-1]], data, req_clust,

@@ -3,8 +3,12 @@
 TPU-native replacement for sklearn ``KMeans(n_init=10)`` and
 spherecluster ``SphericalKMeans`` (reference clustering/cluster_masks.py:
 66-76). Assignment is one (N, K) matmul on the MXU per iteration; center
-updates are segment sums; the ``n_init`` restarts run as a vmapped batch
-and the best inertia wins — all restarts share the same compiled program.
+updates are segment sums; the ``n_init`` restarts run SEQUENTIALLY via
+``lax.map`` (one compiled program reused per restart) and the best
+inertia wins. Sequential is deliberate: a vmapped batch of restarts
+would materialize ``n_init`` (N, K) distance matrices at once — ~10 GB
+at the K400 scale (240k x 1000 x 10 restarts) — while the measured
+sequential wall-clock is already 2.3 s there (PERF.md round 4).
 """
 
 from __future__ import annotations

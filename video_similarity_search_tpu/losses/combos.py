@@ -47,9 +47,18 @@ def llc_loss(out_anc: Array, out_pos: Array, out_anc2: Array,
 
 def intra_neg_loss(out_anc: Array, out_pos: Array, out_intra_neg: Array,
                    dist_metric: str = "cosine") -> Array:
-    """Intra-negative: the temporally shuffled anchor must sit farther than
-    the positive (ref online_train.py:334-360; note the d_ap/d_an roles
-    mirror the reference exactly)."""
-    d_ap = pairwise_dist(out_anc, out_intra_neg, dist_metric)
-    d_an = pairwise_dist(out_anc, out_pos, dist_metric)
+    """Intra-negative: the temporally shuffled anchor must sit FARTHER than
+    the positive — loss = relu(d(anc,pos) - d(anc,shuffled) + margin).
+
+    Latent reference defect (implementing the intent, SURVEY §7.4
+    convention): the reference's block (online_train.py:334-360) is a
+    copy-paste of its LOCAL_LOCAL_CONTRAST block — it even reuses the
+    ``target_llc`` variable for the intra-neg target (:355-357) — and so
+    feeds MarginRankingLoss(d(anc,shuffled), d(anc,pos), y=-1), which
+    PULLS the shuffled "negative" closer than the positive: the inverse
+    of an intra-negative objective (and of the SLIC paper's described
+    use of shuffled clips as negatives). Here the roles are the intended
+    way around."""
+    d_ap = pairwise_dist(out_anc, out_pos, dist_metric)
+    d_an = pairwise_dist(out_anc, out_intra_neg, dist_metric)
     return margin_ranking_loss(d_ap, d_an, INTRA_NEG_MARGIN)

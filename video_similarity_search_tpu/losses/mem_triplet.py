@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..ops.pdist import pairwise_distance
-from .triplet import _NEG_INF, _gumbel
+from .triplet import select_negative_indices
 
 Array = jnp.ndarray
 
@@ -87,27 +87,14 @@ def mem_triplet_loss(state: MemTripletState, embeddings: Array, labels: Array,
     pos_slot = (new_ptr - bsz + offset + jnp.arange(n)) % k_total  # (n,)
     d_ap = dist[:, pos_slot]  # (n_anchor, n_pos) = d(anchor_i, queue[pos of j])
 
-    # negative selection per pair over queue slots
+    # negative selection per pair over queue slots — the SAME strategy
+    # dispatch as the in-batch miner (triplet.py::select_negative_indices;
+    # candidates here are the K queue slots instead of the batch rows)
     pair_loss = d_ap[:, :, None] + margin - dist[:, None, :]  # (n, n, K)
     neg3 = jnp.broadcast_to(neg_mask[:, None, :], pair_loss.shape)
-    if sampling_strategy == "random_negative":
-        logits = jnp.where(neg3, 0.0, _NEG_INF) + _gumbel(key, pair_loss.shape)
-    elif sampling_strategy == "random_semi_hard":
-        logits = (jnp.where(neg3 & (pair_loss > 0), 0.0, _NEG_INF)
-                  + _gumbel(key, pair_loss.shape))
-    elif sampling_strategy == "fixed_semi_hard":
-        logits = jnp.where(neg3 & (pair_loss > 0), pair_loss, _NEG_INF)
-    elif sampling_strategy == "adapted_hard":
-        # degenerates to hardest-easy for <1000 negatives (see triplet.py)
-        logits = jnp.full(pair_loss.shape, _NEG_INF)
-    else:
-        raise ValueError(f"unknown sampling strategy {sampling_strategy!r}")
-    neg_idx = jnp.argmax(logits, axis=-1)
-    ok = jnp.take_along_axis(logits, neg_idx[..., None], -1)[..., 0] > _NEG_INF / 2
-    easy = jnp.where(neg_mask, dist, jnp.inf)
-    easy_idx = jnp.broadcast_to(jnp.argmin(easy, axis=1)[:, None],
-                                neg_idx.shape)
-    neg_idx = jnp.where(ok, neg_idx, easy_idx)
+    easy_dist = jnp.where(neg_mask, dist, jnp.inf)
+    neg_idx = select_negative_indices(pair_loss, neg3, easy_dist,
+                                      sampling_strategy, key)
 
     d_an = jnp.take_along_axis(
         jnp.broadcast_to(dist[:, None, :], pair_loss.shape),

@@ -65,6 +65,37 @@ def _momentum_bank_update(memory: Array, feats: Array, y: Array,
     return memory.at[y].set(new)
 
 
+def _normalize_two_view(state, out_l, out_ab, T, use_softmax, n_data):
+    """Shared scoring tail of the NCEAverage family: softmax scaling or
+    the exp/Z NCE normalization with first-batch Z estimation (ref :55-71).
+    One implementation so the Z logic cannot drift between the plain and
+    intra-neg variants (they must stay in lockstep for checkpoints)."""
+    if use_softmax:
+        return out_l / T, out_ab / T, state.z_l, state.z_ab
+    e_l = jnp.exp(out_l / T)
+    e_ab = jnp.exp(out_ab / T)
+    new_z_l = jnp.where(state.z_l < 0, jnp.mean(e_l) * n_data, state.z_l)
+    new_z_ab = jnp.where(state.z_ab < 0, jnp.mean(e_ab) * n_data, state.z_ab)
+    return (e_l / jax.lax.stop_gradient(new_z_l),
+            e_ab / jax.lax.stop_gradient(new_z_ab), new_z_l, new_z_ab)
+
+
+def _updated_banks(state, l, ab, y, momentum, neg=None):
+    """Momentum update of the per-sample banks (ref :73-86); shared by
+    both NCEAverage variants."""
+    kw = dict(
+        memory_l=_momentum_bank_update(state.memory_l,
+                                       jax.lax.stop_gradient(l), y, momentum),
+        memory_ab=_momentum_bank_update(state.memory_ab,
+                                        jax.lax.stop_gradient(ab), y,
+                                        momentum),
+    )
+    if neg is not None:
+        kw["memory_neg"] = _momentum_bank_update(
+            state.memory_neg, jax.lax.stop_gradient(neg), y, momentum)
+    return kw
+
+
 @functools.partial(jax.jit, static_argnames=("K", "T", "momentum",
                                              "use_softmax"))
 def nce_average(state: NCEAverageState, l: Array, ab: Array, y: Array, key,
@@ -84,26 +115,10 @@ def nce_average(state: NCEAverageState, l: Array, ab: Array, y: Array, key,
     w_ab = jax.lax.stop_gradient(state.memory_ab[idx])
     out_l = jnp.einsum("bkd,bd->bk", w_ab, l.astype(jnp.float32))
 
-    new_z_l, new_z_ab = state.z_l, state.z_ab
-    if use_softmax:
-        out_l = out_l / T
-        out_ab = out_ab / T
-    else:
-        e_l = jnp.exp(out_l / T)
-        e_ab = jnp.exp(out_ab / T)
-        new_z_l = jnp.where(state.z_l < 0, jnp.mean(e_l) * n_data, state.z_l)
-        new_z_ab = jnp.where(state.z_ab < 0, jnp.mean(e_ab) * n_data,
-                             state.z_ab)
-        out_l = e_l / jax.lax.stop_gradient(new_z_l)
-        out_ab = e_ab / jax.lax.stop_gradient(new_z_ab)
-
-    new_state = state.replace(
-        memory_l=_momentum_bank_update(state.memory_l,
-                                       jax.lax.stop_gradient(l), y, momentum),
-        memory_ab=_momentum_bank_update(state.memory_ab,
-                                        jax.lax.stop_gradient(ab), y, momentum),
-        z_l=new_z_l, z_ab=new_z_ab,
-    )
+    out_l, out_ab, new_z_l, new_z_ab = _normalize_two_view(
+        state, out_l, out_ab, T, use_softmax, n_data)
+    new_state = state.replace(z_l=new_z_l, z_ab=new_z_ab,
+                              **_updated_banks(state, l, ab, y, momentum))
     return out_l, out_ab, new_state
 
 
@@ -129,29 +144,11 @@ def nce_average_intra_neg(state: NCEAverageState, l: Array, ab: Array,
         [jax.lax.stop_gradient(state.memory_ab[idx]), w_neg], axis=1)
     out_l = jnp.einsum("bkd,bd->bk", w_ab, l.astype(jnp.float32))
 
-    new_z_l, new_z_ab = state.z_l, state.z_ab
-    if use_softmax:
-        out_l = out_l / T
-        out_ab = out_ab / T
-    else:
-        e_l = jnp.exp(out_l / T)
-        e_ab = jnp.exp(out_ab / T)
-        new_z_l = jnp.where(state.z_l < 0, jnp.mean(e_l) * n_data, state.z_l)
-        new_z_ab = jnp.where(state.z_ab < 0, jnp.mean(e_ab) * n_data,
-                             state.z_ab)
-        out_l = e_l / jax.lax.stop_gradient(new_z_l)
-        out_ab = e_ab / jax.lax.stop_gradient(new_z_ab)
-
-    new_state = state.replace(
-        memory_l=_momentum_bank_update(state.memory_l,
-                                       jax.lax.stop_gradient(l), y, momentum),
-        memory_ab=_momentum_bank_update(state.memory_ab,
-                                        jax.lax.stop_gradient(ab), y, momentum),
-        memory_neg=_momentum_bank_update(state.memory_neg,
-                                         jax.lax.stop_gradient(neg), y,
-                                         momentum),
-        z_l=new_z_l, z_ab=new_z_ab,
-    )
+    out_l, out_ab, new_z_l, new_z_ab = _normalize_two_view(
+        state, out_l, out_ab, T, use_softmax, n_data)
+    new_state = state.replace(z_l=new_z_l, z_ab=new_z_ab,
+                              **_updated_banks(state, l, ab, y, momentum,
+                                               neg=neg))
     return out_l, out_ab, new_state
 
 
@@ -173,9 +170,16 @@ def init_memory_moco(key, K: int, feat_dim: int) -> MemoryMoCoState:
 
 @functools.partial(jax.jit, static_argnames=("T", "use_softmax", "n_data"))
 def memory_moco(state: MemoryMoCoState, q: Array, k: Array, T: float = 0.07,
-                use_softmax: bool = False, n_data: int = 0,
+                use_softmax: bool = False, n_data: Optional[int] = None,
                 ) -> Tuple[Array, MemoryMoCoState]:
-    """(out (B, 1+K), new_state) — ref MemoryMoCo.forward (:204-241)."""
+    """(out (B, 1+K), new_state) — ref MemoryMoCo.forward (:204-241).
+
+    ``n_data`` (the dataset size, the NCE normalization constant's scale)
+    is required on the NCE path — a zero default would silently set the
+    Z estimate to 0 and emit inf/NaN."""
+    if not use_softmax and not n_data:
+        raise ValueError("memory_moco(use_softmax=False) needs n_data > 0 "
+                         "(the NCE Z estimate is mean(out) * n_data)")
     q = q.astype(jnp.float32)
     k = jax.lax.stop_gradient(k.astype(jnp.float32))
     l_pos = jnp.sum(q * k, axis=1, keepdims=True)

@@ -59,14 +59,21 @@ def _pair_masks(labels: Array) -> Tuple[Array, Array]:
     return same & iu & has_neg[:, None], neg_mask
 
 
-def _select_negatives(dist: Array, pair_valid: Array, neg_mask: Array,
-                      margin: float, strategy: str, key) -> Array:
-    """Negative index per (anchor, positive) pair -> (N, N) int32."""
-    n = dist.shape[0]
-    # loss[i, j, m] = d(i,j) + margin - d(i,m): semi-hard/hard when > 0
-    pair_loss = dist[:, :, None] + margin - dist[:, None, :]
-    neg3 = jnp.broadcast_to(neg_mask[:, None, :], pair_loss.shape)
+def select_negative_indices(pair_loss: Array, neg3: Array, easy_dist: Array,
+                            strategy: str, key) -> Array:
+    """Negative candidate index per (anchor, positive) pair.
 
+    The ONE strategy dispatch shared by the in-batch miner
+    (:func:`online_triplet_loss`, candidates = the batch) and the
+    FIFO-bank miner (mem_triplet.py, candidates = the queue) — the two
+    previously carried near-verbatim copies that could drift.
+
+    ``pair_loss``: (A, P, C) = d_ap + margin - d(anchor, candidate);
+    ``neg3``: (A, P, C) candidate-validity mask; ``easy_dist``: (A, C)
+    anchor->candidate distances with invalid entries = +inf (the
+    hardest-easy fallback pool, ref :424-426). Returns (A, P) int32.
+    """
+    n_candidates = pair_loss.shape[-1]
     if strategy == "random_negative":
         logits = jnp.where(neg3, 0.0, _NEG_INF)
         logits = logits + _gumbel(key, logits.shape)
@@ -77,13 +84,12 @@ def _select_negatives(dist: Array, pair_valid: Array, neg_mask: Array,
     elif strategy == "fixed_semi_hard":
         logits = jnp.where(neg3 & (pair_loss > 0), pair_loss, _NEG_INF)
     elif strategy == "adapted_hard":
-        n_negs = n  # static bound; actual negatives vary by row
-        if n_negs < 1000:
+        if n_candidates < 1000:
             # degenerate case == hardest_easy fallback (see module docstring)
             logits = jnp.full(pair_loss.shape, _NEG_INF)
         else:
-            k = max(int(0.05 * n_negs), 1)
-            skip = int(0.001 * n_negs)
+            k = max(int(0.05 * n_candidates), 1)
+            skip = int(0.001 * n_candidates)
             masked = jnp.where(neg3, pair_loss, _NEG_INF)
             sorted_loss = jnp.sort(masked, axis=-1)
             lo = sorted_loss[..., -k][..., None]
@@ -98,9 +104,19 @@ def _select_negatives(dist: Array, pair_valid: Array, neg_mask: Array,
     chosen_valid = jnp.take_along_axis(logits, neg_idx[..., None],
                                        axis=-1)[..., 0] > _NEG_INF / 2
     # hardest-easy fallback: closest valid negative (ref :424-426)
-    easy = jnp.where(neg_mask, dist, jnp.inf)[:, None, :]
-    easy_idx = jnp.broadcast_to(jnp.argmin(easy, axis=-1), neg_idx.shape)
+    easy_idx = jnp.broadcast_to(jnp.argmin(easy_dist, axis=-1)[:, None],
+                                neg_idx.shape)
     return jnp.where(chosen_valid, neg_idx, easy_idx)
+
+
+def _select_negatives(dist: Array, pair_valid: Array, neg_mask: Array,
+                      margin: float, strategy: str, key) -> Array:
+    """In-batch form: candidates are the batch rows -> (N, N) int32."""
+    pair_loss = dist[:, :, None] + margin - dist[:, None, :]
+    neg3 = jnp.broadcast_to(neg_mask[:, None, :], pair_loss.shape)
+    easy_dist = jnp.where(neg_mask, dist, jnp.inf)
+    return select_negative_indices(pair_loss, neg3, easy_dist, strategy,
+                                   key)
 
 
 @functools.partial(jax.jit, static_argnames=("margin", "dist_metric",
@@ -166,13 +182,19 @@ def _all_semi_hard_loss(dist, pair_valid, neg_mask, margin, key):
     easy_score = 1.0 - easy_rank.astype(jnp.float32) / n  # (0, 1]
     scores = jnp.where(semi, 2.0 + u,
                        jnp.where(neg3, easy_score[:, None, :], _NEG_INF))
-    _, top_idx = jax.lax.top_k(scores, k)  # (N, N, k)
+    sel_scores, top_idx = jax.lax.top_k(scores, k)  # (N, N, k)
+    # a pair with fewer than k valid negatives still gets k indices back;
+    # the padding entries carry the -inf sentinel score and would
+    # otherwise smuggle same-label rows (including the anchor itself,
+    # distance 0 -> exp(2)) into the denominator — drop them instead
+    sel_valid = sel_scores > _NEG_INF / 2
     an_sel = jnp.take_along_axis(
         jnp.broadcast_to(dist[:, None, :], pair_loss.shape), top_idx, axis=-1)
 
     temperature = 0.5  # ref :186
     ap_sim = jnp.exp((1.0 - dist) / temperature)  # (N, N)
-    an_sim = jnp.exp((1.0 - an_sel) / temperature)  # (N, N, k)
+    an_sim = jnp.where(sel_valid,
+                       jnp.exp((1.0 - an_sel) / temperature), 0.0)
     per_pair = -jnp.log(ap_sim / (jnp.sum(an_sim, axis=-1) + ap_sim))
     count = jnp.sum(pair_valid)
     loss = jnp.sum(jnp.where(pair_valid, per_pair, 0.0)) / jnp.maximum(count, 1)
