@@ -117,3 +117,21 @@ def test_abandoned_iterator_shuts_down_cleanly():
     del it  # generator close -> stop event -> producer exits its put loop
     # a fresh iteration still works after the abandonment
     assert len(list(ld)) == 3
+
+
+def test_producer_exception_propagates():
+    """A failing dataset item must raise in the CONSUMER, not silently end
+    the epoch (round-4 review: a corrupt JPEG would truncate the epoch
+    and desync per-host step counts into a collective deadlock)."""
+    import pytest
+
+    class Bad(_DS):
+        def __getitem__(self, i):
+            if i == 5:
+                raise FileNotFoundError("corrupt frame")
+            return super().__getitem__(i)
+
+    ld = PrefetchLoader(Bad(), 4, shuffle=False, drop_last=False,
+                        collate=_collate, num_workers=1)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(ld)

@@ -146,6 +146,25 @@ class ClipReader:
             res.append(r)
         return np.stack(res, 0)
 
+    def _native_frame_paths(self, video_path: str, frame_indices):
+        """Frame paths for the native decoder, substituting the last seen
+        path for missing tail frames (loop-padding); None when the FIRST
+        frame is missing or any substitution fails — the caller then takes
+        the PIL/cv2 path. Shared by both native read paths."""
+        import os as _os
+
+        fmt = self.loader.image_name_formatter
+        paths, last = [], None
+        for i in frame_indices:
+            p = _os.path.join(video_path, fmt(i))
+            ok = _os.path.exists(p)  # one stat per frame (hot path)
+            if ok:
+                last = p
+            elif last is None:
+                return None  # leading frame missing: use the PIL path
+            paths.append(p if ok else last)
+        return paths if len(paths) == len(frame_indices) else None
+
     def _read_rgb_rrc(self, video_path: str, frame_indices,
                       box, box_dims=None) -> np.ndarray:
         """RGB clip through the native RRC decode (crop fused into decode),
@@ -153,19 +172,8 @@ class ClipReader:
         from . import native_loader
 
         if native_loader.available():
-            import os as _os
-
-            fmt = self.loader.image_name_formatter
-            paths, last = [], None
-            for i in frame_indices:
-                p = _os.path.join(video_path, fmt(i))
-                ok = _os.path.exists(p)  # one stat per frame (hot path)
-                if ok:
-                    last = p
-                elif last is None:
-                    break
-                paths.append(p if ok else last)
-            if last is not None and len(paths) == len(frame_indices):
+            paths = self._native_frame_paths(video_path, frame_indices)
+            if paths is not None:
                 try:
                     top, left, ch, cw = box
                     bh, bw = box_dims if box_dims else (-1.0, -1.0)
@@ -221,19 +229,8 @@ class ClipReader:
         from . import native_loader
 
         if native_loader.available():
-            import os as _os
-
-            fmt = self.loader.image_name_formatter
-            paths, last = [], None
-            for i in frame_indices:
-                p = _os.path.join(video_path, fmt(i))
-                ok = _os.path.exists(p)  # one stat per frame (hot path)
-                if ok:
-                    last = p
-                elif last is None:
-                    break  # leading frame missing: use the PIL path
-                paths.append(p if ok else last)
-            if last is not None and len(paths) == len(frame_indices):
+            paths = self._native_frame_paths(video_path, frame_indices)
+            if paths is not None:
                 try:
                     return native_loader.decode_frames(
                         paths, self.buffer_size, self.eval_mode)
@@ -426,12 +423,18 @@ class VideoDataset:
                  temporal_transform: Callable,
                  reader: ClipReader,
                  target_type: str = "label",
-                 split: str = "train"):
+                 split: str = "train",
+                 sample_duration: int = 16):
         self.samples = samples
         self.tt = temporal_transform
         self.reader = reader
         self.target_type = target_type
         self.split = split
+        # test-split window length (cfg.DATA.SAMPLE_DURATION): the
+        # temporal transform is a Compose with no .size attribute, so the
+        # old hasattr fallback silently pinned 16-frame windows for every
+        # non-16 SAMPLE_DURATION, diverging from the 8-frame train bank
+        self.sample_duration = sample_duration
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -441,8 +444,8 @@ class VideoDataset:
         target = sample[self.target_type]
         if self.split == "test":
             windows = get_test_video_frame_indices(
-                sample["num_frames"], self.tt.size
-                if hasattr(self.tt, "size") else 16)
+                sample["num_frames"],
+                getattr(self.tt, "size", self.sample_duration))
             clips = np.stack([
                 self.reader.load(sample, win) for win in windows
             ])  # (n_windows, T, H, W, C)

@@ -241,6 +241,10 @@ class UCF101LMDB_2CLIP:
         # too-short filter: max padding = half the clip (reference :113-118)
         rows = [r for r in rows
                 if r["vlen"] - self.num_frames // 2 * self.ds - 1 > 0]
+        # full filtered list, BEFORE the val subsample: the 2-stream
+        # wrapper aligns its second modality against this (two independent
+        # 30% subsamples would intersect to ~9% of videos)
+        self.all_rows = rows
         if mode == "val":
             rows = subsample_val(rows)
         self.video_subset = rows
@@ -346,8 +350,12 @@ class UCF101_2STREAM_LMDB_2CLIP:
         self.num_frames = num_frames
         self.ds = ds
         self.mode = mode
-        # align by vname intersection
-        flow_by_name = {r["vname"]: r for r in self.flow.video_subset}
+        # align by vname: the RGB subset (with its val subsample) is the
+        # authority; flow rows come from the flow dataset's FULL filtered
+        # list. Matching two independently-subsampled 30% val sets would
+        # keep only their ~9% intersection (the reference builds both
+        # modalities from ONE csv and subsamples once, :411-466).
+        flow_by_name = {r["vname"]: r for r in self.flow.all_rows}
         self.video_subset = [
             (r, flow_by_name[r["vname"]])
             for r in self.rgb.video_subset if r["vname"] in flow_by_name

@@ -76,8 +76,11 @@ class VideoLoaderHDF5:
                 if i < len(video_data):
                     frames.append(_to_uint8_rgb(
                         Image.open(io.BytesIO(video_data[i]))))
-                else:
+                elif frames:
                     frames.append(frames[-1])
+                # first index already out of range (annotation longer than
+                # the stored data): return the partial/empty list like the
+                # reference (datasets/loader.py:64-69) instead of IndexError
         return frames
 
 
@@ -102,6 +105,6 @@ class VideoLoaderFlowHDF5:
                     v = np.asarray(Image.open(io.BytesIO(flow_data[1][i]))
                                    .convert("L"))
                     frames.append(np.stack([u, v, u], axis=-1))
-                else:
+                elif frames:  # see VideoLoaderHDF5 note
                     frames.append(frames[-1])
         return frames

@@ -79,7 +79,12 @@ def _select_video_ids(database: dict, subset: str, split: str,
         return list(itertools.chain(*groups.values()))
     ids: List[str] = []
     for name in groups:
-        ids.extend(rng.choice(groups[name], size=val_sample).tolist())
+        # without replacement, capped at the group size — the reference's
+        # np.random.choice default (replace=True, ucf101.py:46) can pick
+        # the same video twice per group at val_sample > 1, duplicating
+        # val entries (harmless at its default val_sample=1)
+        k = min(val_sample, len(groups[name]))
+        ids.extend(rng.choice(groups[name], size=k, replace=False).tolist())
     return ids
 
 

@@ -85,6 +85,13 @@ def build_temporal_transforms(cfg, triplets: bool = True):
     return TemporalCompose([TemporalCenterCrop(d)])
 
 
+class _ProducerError:
+    """Exception relay from the prefetch thread to the consuming iterator."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 _TOUCH_JIT = None
 
 
@@ -247,6 +254,11 @@ class PrefetchLoader:
             return False
 
         def produce():
+            # a producer exception must NOT look like a normal end of
+            # epoch (a single corrupt JPEG would silently truncate the
+            # epoch — and desynchronize per-host step counts into a
+            # collective deadlock under num_shards > 1); ship it to the
+            # consumer and re-raise there
             try:
                 for bidx in batches:
                     if stop.is_set():
@@ -265,6 +277,8 @@ class PrefetchLoader:
                             batch = self._upload(batch)
                     if not put_or_stop(batch):
                         break
+            except BaseException as e:  # noqa: BLE001 - relayed, not dropped
+                put_or_stop(_ProducerError(e))
             finally:
                 put_or_stop(None)
 
@@ -297,6 +311,10 @@ class PrefetchLoader:
                     batch = out_q.get()
                     if batch is None:
                         break
+                    if isinstance(batch, _ProducerError):
+                        raise RuntimeError(
+                            "PrefetchLoader producer failed"
+                        ) from batch.exc
                     yield batch
             finally:
                 stop.set()
@@ -446,6 +464,7 @@ def build_data_loader(split: str, cfg, is_master_proc: bool = True,
             reader=reader,
             target_type=target_type,
             split=ds_split,
+            sample_duration=cfg.DATA.SAMPLE_DURATION,
         )
         collate = collate_videos
         # 6x eval batch (reference datasets/data_loader.py:300-313),

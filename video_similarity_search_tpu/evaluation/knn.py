@@ -26,9 +26,14 @@ def k_nearest_embeddings(state, model, cfg, train_loader, test_loader, *,
     global_retrieval_acc.txt (reference evaluate.py:353-399 — note the
     reference's log line drops top-10/20 due to a format-string bug,
     SURVEY §7.4; we log all four)."""
-    test_cache = os.path.join(cache_dir, "test_embeddings.pkl") \
+    # cache keyed by split AND epoch: the reference's split-only pkl names
+    # (evaluate.py:313-345) are fine for its one-shot eval CLI, but a
+    # caller passing cache_dir across epochs would silently reuse epoch-0
+    # embeddings forever (and freeze any is_best decision on them)
+    suffix = f"_ep{epoch}" if epoch else ""
+    test_cache = os.path.join(cache_dir, f"test_embeddings{suffix}.pkl") \
         if cache_dir else None
-    train_cache = os.path.join(cache_dir, "train_embeddings.pkl") \
+    train_cache = os.path.join(cache_dir, f"train_embeddings{suffix}.pkl") \
         if cache_dir else None
 
     if test_cache and os.path.exists(test_cache):

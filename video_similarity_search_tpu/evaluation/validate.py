@@ -75,19 +75,15 @@ def validate(state, model, cfg, val_loader, epoch: int = 0,
         labels.append(np.asarray(batch["targets"][:b]))
 
     acc = n_correct / max(n_total, 1)
-    emb = np.concatenate(embs) if embs else np.zeros((0, 1), np.float32)
-    lab = np.concatenate(labels) if labels else np.zeros((0,), np.int64)
 
     if cfg.VAL.METRIC == "local_batch":
-        topk = {}
-        off = 0
-        metrics = []
-        for e, l in zip(embs, labels):
-            metrics.append(local_batch_retrieval_acc(e, l))
-        for k in (1, 5):
-            topk[k] = float(np.mean([m[k] for m in metrics])) if metrics \
-                else 0.0
+        metrics = [local_batch_retrieval_acc(e, l)
+                   for e, l in zip(embs, labels)]
+        topk = {k: (float(np.mean([m[k] for m in metrics])) if metrics
+                    else 0.0) for k in (1, 5)}
     else:  # 'global': all embeddings as both query and bank
+        emb = np.concatenate(embs) if embs else np.zeros((0, 1), np.float32)
+        lab = np.concatenate(labels) if labels else np.zeros((0,), np.int64)
         topk = topk_retrieval_acc(emb, lab, emb, lab, ks=(1, 5),
                                   exclude_self=True) if len(emb) else \
             {1: 0.0, 5: 0.0}
