@@ -175,8 +175,8 @@ def main():
             apply_fn=model.apply,
         )
 
-    step_fn = make_classify_train_step(cfg, weight_decay=args.wd,
-                                       train_what=args.train_what)
+    # weight decay / freezing are applied by the optimizer built above
+    step_fn = make_classify_train_step(cfg)
     print(f"coclr_classify: net={args.net} train_what={args.train_what} "
           f"epochs={args.epochs}")
 

@@ -550,3 +550,30 @@ def test_slowfast_contrastive_step_batched_views():
     }
     state, m = step(state, batch, jax.random.key(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_make_step_and_state_slowfast_init():
+    """Round-4 fix: _make_step_and_state must init SlowFast with the
+    [slow, fast] pathway list (SlowFast.__call__ asserts on a plain
+    array) — previously train() crashed at state creation for
+    ARCH='slowfast' on every LOSS.TYPE."""
+    import argparse
+
+    from video_similarity_search_tpu.models import model_selector
+    from video_similarity_search_tpu.train.driver import _make_step_and_state
+
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.SLOWFAST.DEPTH = 50
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.OUT_DIM = 16
+    cfg.DATA.SAMPLE_DURATION = 8
+    cfg.DATA.SAMPLE_SIZE = 32
+    cfg.LOSS.TYPE = "triplet"
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    args = argparse.Namespace(checkpoint_path=None, start_epoch=None,
+                              iterative_cluster=False, vector=False)
+    step, state = _make_step_and_state(args, cfg, model_selector(cfg),
+                                       n_data=8, mesh=None)
+    assert "s1" in state.params or any("pathway" in k or "s1" in k
+                                      for k in state.params)

@@ -95,11 +95,17 @@ def load_video_manifest(
     sample_duration: int,
     channel_ext: Optional[Dict[str, str]] = None,
     cluster_path: Optional[str] = None,
+    cluster_labels: Optional[Sequence[int]] = None,
     val_sample: Optional[int] = 1,
     seed: int = 0,
     verbose: bool = True,
 ) -> Tuple[List[dict], Dict[int, str]]:
     """UCF101/HMDB51 JSON -> (samples, idx_to_class).
+
+    ``cluster_labels`` (in-memory, dataset order) overrides the
+    ``cluster_path`` file read — on multi-host runs every host computes
+    identical labels but only the master writes the file, so the rebuild
+    must not depend on reading it back.
 
     Each sample: {'video', 'num_frames', 'label', <channel keys>,
     'cluster_label'?}. ``channel_ext`` maps extension name -> root path.
@@ -114,7 +120,8 @@ def load_video_manifest(
 
     video_ids = _select_video_ids(data["database"], subset, split, val_sample,
                                   rng)
-    cluster_labels = read_cluster_labels(cluster_path)
+    if cluster_labels is None:
+        cluster_labels = read_cluster_labels(cluster_path)
     channel_ext = channel_ext or {}
 
     samples: List[dict] = []
@@ -158,6 +165,7 @@ def load_kinetics_manifest(
     split: str,
     sample_duration: int,
     cluster_path: Optional[str] = None,
+    cluster_labels: Optional[Sequence[int]] = None,
     verbose: bool = True,
 ) -> Tuple[List[dict], Dict[int, str]]:
     """Kinetics frame-path listing -> (samples, idx_to_class).
@@ -171,7 +179,8 @@ def load_kinetics_manifest(
     cand = os.path.join(annotation_path, f"{split}.csv")
     if os.path.isdir(annotation_path) and os.path.exists(cand):
         path = cand
-    cluster_labels = read_cluster_labels(cluster_path)
+    if cluster_labels is None:
+        cluster_labels = read_cluster_labels(cluster_path)
 
     def rows(p):
         with open(p) as f:

@@ -374,9 +374,15 @@ def build_data_loader(split: str, cfg, is_master_proc: bool = True,
                       val_sample: Optional[int] = 1,
                       shard_index: int = 0, num_shards: int = 1,
                       buffer_size: Optional[int] = None,
-                      test_windows: bool = True):
+                      test_windows: bool = True,
+                      cluster_labels=None):
     """Same role/signature as reference build_data_loader
-    (datasets/data_loader.py:205-342). Returns (loader, (dataset, None))."""
+    (datasets/data_loader.py:205-342). Returns (loader, (dataset, None)).
+
+    ``cluster_labels``: in-memory pseudo-labels (dataset order) that
+    override the CLUSTER_PATH file read — the multi-host rebuild path
+    (every host computes identical labels; only the master writes the
+    file)."""
     dataset_name = cfg.TRAIN.DATASET
     # channel extensions only where the reference attaches them
     # (data_loader.py:230-233): with POS_CHANNEL_REPLACE the extra views
@@ -401,6 +407,7 @@ def build_data_loader(split: str, cfg, is_master_proc: bool = True,
         split=split,
         sample_duration=cfg.DATA.SAMPLE_DURATION,
         cluster_path=cluster_path if split == "train" else None,
+        cluster_labels=cluster_labels if split == "train" else None,
         verbose=is_master_proc,
     )
     if dataset_name != "kinetics":

@@ -141,7 +141,17 @@ def infonce_forward(encoder: MoCoEncoder, query_vars, state: MoCoState,
     key_vars = {"params": state.key_params,
                 "batch_stats": new_bs if train
                 else query_vars.get("batch_stats", {})}
-    k = encoder.apply(key_vars, x2, train=False)
+    if train:
+        # the key forward uses BATCH statistics like the reference's
+        # train-mode encoder_k (models/infoNCE.py:108-153) — its per-GPU
+        # BN-shuffle trick is replaced by cross-replica (global-batch)
+        # stats here; eval-mode running averages would normalize early
+        # keys with near-init statistics. The stat mutation is discarded
+        # (the key encoder keeps no running state of its own).
+        k, _ = encoder.apply(key_vars, x2, train=True,
+                             mutable=["batch_stats"])
+    else:
+        k = encoder.apply(key_vars, x2, train=False)
     k = jax.lax.stop_gradient(_l2norm(k.astype(jnp.float32)))
 
     l_pos = jnp.sum(q * k, axis=1, keepdims=True)  # (B, 1)

@@ -780,11 +780,17 @@ _ARCH_CONVERTERS = {
 
 
 def torch_to_flax(sd: Dict[str, np.ndarray], arch: str,
-                  skip_heads: bool = False) -> Tuple[dict, dict]:
+                  skip_heads: bool = False,
+                  stem_s2d: bool = False) -> Tuple[dict, dict]:
     """Arch-dispatching torch state_dict converter (checkpoint-fidelity
-    surface: same ckpt -> same retrieval ranks, BASELINE.json)."""
+    surface: same ckpt -> same retrieval ranks, BASELINE.json).
+
+    ``stem_s2d`` must mirror the live model's ``TPU.STEM_S2D`` — without
+    the kernel transform the imported (7,7,7,C,O) conv1 shape-mismatches
+    the s2d stem and silently stays at random init."""
     if arch == "3dresnet":
-        return torch_resnet3d_to_flax(sd, skip_heads=skip_heads)
+        return torch_resnet3d_to_flax(sd, skip_heads=skip_heads,
+                                      stem_s2d=stem_s2d)
     if arch in ("s3d", "s3dg"):
         if any(k.startswith("final_fc.") for k in sd):
             return torch_linear_classifier_to_flax(sd)

@@ -21,8 +21,10 @@ Per epoch:
 
 The reference's ``torch.distributed.barrier()`` after the master writes the
 cluster file (online_train.py:661-662) is unnecessary here: clustering is
-computed on device identically on every host (deterministic), and the file
-write is master-only bookkeeping.
+computed identically on every host (deterministic — cross-process
+bit-equality asserted in tests/test_multiprocess.py), and the loader
+rebuild consumes the IN-MEMORY labels on every host; the txt file is
+master-only bookkeeping that nothing on the training path reads back.
 """
 
 from __future__ import annotations
@@ -152,13 +154,17 @@ def triplet_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
 
 def contrastive_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
                             base_key, is_master: bool = True, mesh=None,
-                            modality: str = "res", sink=None):
+                            sink=None):
     """One contrastive (NCE) epoch (reference contrastive_train_epoch,
     online_train.py:136-225). The two views are the triplet loader's
     anchor and positive clips (``inputs[0]``/``inputs[1]`` in the
     reference); for ``modality='res'`` view2 is the on-device frame
     residual of view1 (reference ``diff``, :228-230 — computed inside the
-    jitted step)."""
+    jitted step). The modality is derived from cfg HERE, with the same
+    rule _make_step_and_state uses to build the step — a mismatched
+    keyword default previously left the step's batch['view2'] unfed for
+    MODALITY='rgb'."""
+    modality = "rgb" if str(cfg.DATASET.MODALITY) == "rgb" else "res"
     losses = AverageMeter("loss")
     v1_loss = AverageMeter("view1_loss")
     v2_loss = AverageMeter("view2_loss")
@@ -173,6 +179,10 @@ def contrastive_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
     for batch_idx, batch in enumerate(train_loader):
         key = jax.random.fold_in(base_key, epoch * 100000 + batch_idx)
         aug_key, step_key = jax.random.split(key)
+        if modality == "res":
+            # view2 is computed in-graph from view1 — don't upload and
+            # augment the positive clip just to discard it
+            batch = {k: v for k, v in batch.items() if k != "positive"}
         dev = _device_batch(batch, cfg, aug_key, train=True, mesh=mesh)
         step_batch = {"view1": dev["anchor"], "index": dev["index"]}
         if modality != "res":
@@ -309,6 +319,13 @@ def _make_step_and_state(args, cfg, model, n_data: int, mesh,
     sample = jnp.zeros((n_views, cfg.DATA.SAMPLE_DURATION,
                         cfg.DATA.SAMPLE_SIZE, cfg.DATA.SAMPLE_SIZE,
                         cfg.DATA.INPUT_CHANNEL_NUM), dtype)
+    if cfg.MODEL.ARCH == "slowfast":
+        # SlowFast.__call__ takes the [slow, fast] pathway list the steps
+        # build in-graph — init must match or it asserts before step one
+        from ..models.slowfast import multipathway_input
+
+        sample = multipathway_input(sample, cfg.SLOWFAST.ALPHA,
+                                    fast_mask=cfg.SLOWFAST.FAST_MASK)
     tx = make_optimizer(cfg, steps_per_epoch)  # honors OPTIM.SCHEDULE
     state = create_train_state(jax.random.key(0), model, cfg, sample, tx=tx)
 
@@ -390,10 +407,20 @@ def train(args, cfg) -> None:
         best_prec1 = float(payload.get("best_prec1", 0.0))
     if getattr(args, "start_epoch", None) is not None:
         start_epoch = args.start_epoch
+    # in-memory pseudo-labels for the loader rebuild: every host computes
+    # identical labels (deterministic clustering — cross-process equality
+    # asserted in tests/test_multiprocess.py), but only the master writes
+    # vid_clusters.txt, so non-master hosts must NOT depend on reading the
+    # file back (they would silently fall back to true labels)
+    latest_cluster_labels = {"labels": None}
     if iter_cluster and start_epoch >= cfg.ITERCLUSTER.WARMUP_EPOCHS:
         cluster_file = os.path.join(cfg.OUTPUT_PATH, "vid_clusters.txt")
         if os.path.exists(cluster_file):
             cfg.DATASET.CLUSTER_PATH = cluster_file
+            # re-enable pseudo-label targets NOW: pre-preemption the run
+            # trained on cluster labels; without this the resumed run
+            # silently used true labels until the next interval boundary
+            cfg.DATASET.TARGET_TYPE_T = "cluster_label"
         elif is_master:
             # resume into a fresh OUTPUT_PATH (e.g. from a --vector stable
             # checkpoint after preemption): no cluster file exists yet —
@@ -425,7 +452,8 @@ def train(args, cfg) -> None:
         # assembled global batch stays BATCH_SIZE).
         loader, _ = build_data_loader(
             "train", cfg, is_master, triplets=True, shard_index=proc,
-            num_shards=nproc, batch_size=cfg.TRAIN.BATCH_SIZE // nproc)
+            num_shards=nproc, batch_size=cfg.TRAIN.BATCH_SIZE // nproc,
+            cluster_labels=latest_cluster_labels["labels"])
         return with_upload_sharding(loader)
 
     train_loader = make_train_loader()
@@ -452,7 +480,8 @@ def train(args, cfg) -> None:
         if "torch_state_dict" in pre:
             from .checkpoint import torch_to_flax
 
-            p, s = torch_to_flax(pre["torch_state_dict"], cfg.MODEL.ARCH)
+            p, s = torch_to_flax(pre["torch_state_dict"], cfg.MODEL.ARCH,
+                                 stem_s2d=bool(cfg.TPU.STEM_S2D))
         else:
             p, s = pre.get("params", {}), pre.get("batch_stats", {})
         params, stats = merge_pretrained(
@@ -468,7 +497,8 @@ def train(args, cfg) -> None:
             from .checkpoint import torch_to_flax
 
             p, s = torch_to_flax(payload["torch_state_dict"],
-                                 cfg.MODEL.ARCH)
+                                 cfg.MODEL.ARCH,
+                                 stem_s2d=bool(cfg.TPU.STEM_S2D))
             params, stats = merge_pretrained(
                 state.params, state.batch_stats, p, s, verbose=is_master,
                 inflate_temporal=bool(cfg.SLOWFAST.CHECKPOINT_INFLATE))
@@ -497,8 +527,13 @@ def train(args, cfg) -> None:
         if (iter_cluster and epoch >= cfg.ITERCLUSTER.WARMUP_EPOCHS
                 and (epoch - cfg.ITERCLUSTER.WARMUP_EPOCHS)
                 % cfg.ITERCLUSTER.INTERVAL == 0):
-            iterative_cluster_step(state, model, cfg, eval_train_loader,
-                                   is_master, sink=sink, epoch=epoch)
+            labels = iterative_cluster_step(state, model, cfg,
+                                            eval_train_loader, is_master,
+                                            sink=sink, epoch=epoch)
+            # hand the in-memory labels to the rebuild: every host has
+            # them; the txt file is master-written bookkeeping (reference
+            # needed a barrier here, online_train.py:661-662)
+            latest_cluster_labels["labels"] = labels
             cfg.DATASET.CLUSTER_PATH = os.path.join(cfg.OUTPUT_PATH,
                                                     "vid_clusters.txt")
             cfg.DATASET.TARGET_TYPE_T = "cluster_label"

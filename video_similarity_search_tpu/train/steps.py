@@ -103,13 +103,24 @@ def diff_view(x: jnp.ndarray) -> jnp.ndarray:
 
 def shuffle_view(x: jnp.ndarray, key, block_size: int = 2) -> jnp.ndarray:
     """Intra-negative view: temporally block-shuffled clip (the device-side
-    equivalent of datasets/temporal_transforms.py Shuffle, :233-246)."""
+    equivalent of datasets/temporal_transforms.py Shuffle, :233-246).
+
+    Each clip gets its OWN block permutation like the reference's per-item
+    transform (a single shared permutation would correlate every
+    intra-negative in the batch); an odd trailing frame stays in place
+    instead of being truncated (which would change T and break the view
+    stack)."""
     b, t = x.shape[0], x.shape[1]
     n_blocks = t // block_size
-    perm = jax.random.permutation(key, n_blocks)
-    idx = (perm[:, None] * block_size
-           + jnp.arange(block_size)[None, :]).reshape(-1)
-    return x[:, idx]
+    perms = jax.vmap(lambda k: jax.random.permutation(k, n_blocks))(
+        jax.random.split(key, b))
+    idx = (perms[:, :, None] * block_size
+           + jnp.arange(block_size)[None, None, :]).reshape(b, -1)
+    if idx.shape[1] < t:  # ragged tail frames keep their positions
+        tail = jnp.broadcast_to(jnp.arange(idx.shape[1], t)[None, :],
+                                (b, t - idx.shape[1]))
+        idx = jnp.concatenate([idx, tail], axis=1)
+    return jnp.take_along_axis(x, idx[:, :, None, None, None], axis=1)
 
 
 def make_triplet_train_step(cfg) -> Callable:
@@ -288,7 +299,13 @@ def make_moco_train_step(cfg, encoder, uber: bool = False,
                                 / jnp.sum(mask_f, 1))
                 top1 = jnp.mean(jnp.take_along_axis(
                     mask_f, jnp.argmax(logits, 1)[:, None], 1)[:, 0])
-                aux = (keys, new_bs, top1, top1)
+                # top5 = any of the 5 highest logits hits a positive
+                # column (was erroneously logged as a copy of top1)
+                _, t5_idx = jax.lax.top_k(logits, min(5, logits.shape[1]))
+                top5 = jnp.mean(jnp.any(
+                    jnp.take_along_axis(mask_f, t5_idx, 1) > 0,
+                    axis=1).astype(jnp.float32))
+                aux = (keys, new_bs, top1, top5)
             else:
                 logits, target, keys, new_bs = infonce_forward(
                     encoder, qvars, state.moco, batch["x1"], batch["x2"],
@@ -314,11 +331,15 @@ def make_moco_train_step(cfg, encoder, uber: bool = False,
     return step
 
 
-def make_classify_train_step(cfg, weight_decay: float = 1e-3,
-                             train_what: str = "ft") -> Callable:
+def make_classify_train_step(cfg) -> Callable:
     """Supervised CE step for finetune / linear probe
     (reference coclr_classify.py:395-458). Model output may be
-    (logits, feat) (LinearClassifier) or logits."""
+    (logits, feat) (LinearClassifier) or logits.
+
+    Weight decay and train_what freezing live ENTIRELY in the optimizer
+    the CLI builds (optax.multi_transform + add_decayed_weights in
+    cli/coclr_classify.py); this factory deliberately takes neither, so
+    nothing reads as if the step applied them a second time."""
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, key):
