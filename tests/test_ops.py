@@ -153,3 +153,24 @@ def test_topk_neighbors_wide_bank_exact_and_approx():
     recall = np.mean([len(set(np.asarray(aidx)[r]) & set(ref[r])) / 17
                       for r in range(q.shape[0])])
     assert recall >= 0.9
+
+
+def test_compact_labels_sparse_components():
+    """Regression: with C < N/2 components the old -1 pad left
+    jnp.unique's output unsorted (pads append AFTER the sorted prefix)
+    and searchsorted mapped EVERY label to N."""
+    from video_similarity_search_tpu.ops import compact_labels
+
+    labels = jnp.asarray([5, 5, 2, 2, 2, 5, 2, 2], jnp.int32)
+    dense, num = compact_labels(labels)
+    assert int(num) == 2
+    np.testing.assert_array_equal(np.asarray(dense),
+                                  [1, 1, 0, 0, 0, 1, 0, 0])
+    # dense relabeling preserves the partition
+    big = jnp.asarray(RNG.integers(0, 7, size=257) * 1000, jnp.int32)
+    dense, num = compact_labels(big)
+    assert int(num) == len(np.unique(np.asarray(big)))
+    assert int(jnp.max(dense)) == int(num) - 1
+    for c in np.unique(np.asarray(big)):
+        vals = np.asarray(dense)[np.asarray(big) == c]
+        assert len(set(vals.tolist())) == 1

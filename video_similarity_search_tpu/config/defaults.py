@@ -27,6 +27,14 @@ def _build_default_cfg() -> ConfigNode:
     # full train-bank retrieval eval cadence (reference hardcodes 10,
     # online_train.py:736; configurable here, same default)
     _C.TRAIN.RETRIEVAL_INTERVAL = 10
+    # TPU-native gradient accumulation: split each train batch into A
+    # microbatches scanned sequentially inside ONE jitted step (grads
+    # averaged, optimizer applied once). Peak activation memory drops by
+    # ~A x, so large EFFECTIVE batches train at the small-batch MFU
+    # optimum instead of XLA's emergency-remat regime (PERF.md round 4).
+    # Semantics: BN statistics and triplet mining are microbatch-local --
+    # exactly the reference's per-GPU DDP behavior with A extra shards.
+    _C.TRAIN.ACCUM_STEPS = 1
 
     # -- Validation (:24-27) ------------------------------------------------
     _C.VAL = ConfigNode()

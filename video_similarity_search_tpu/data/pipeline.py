@@ -144,6 +144,11 @@ class PrefetchLoader:
         # reshard through a chip-0 hop and pin its HBM); set by the
         # driver after construction when a mesh exists
         self.upload_sharding = None
+        # gradient accumulation (TRAIN.ACCUM_STEPS): reshape uploaded big
+        # leaves (B, ...) -> (A, B/A, ...) in the producer so the consumer
+        # never reshapes a sharded array in-jit (driver sets this together
+        # with a microbatch upload_sharding)
+        self.upload_microbatch = 1
         self._upload_shape_sig = None
         self._atexit_registered = False
         # current producer (stop event, thread) for the single exit hook
@@ -182,9 +187,15 @@ class PrefetchLoader:
 
         out = dict(batch)
         touched = []
+        accum = max(1, int(self.upload_microbatch))
         for k, v in big.items():
+            if accum > 1:
+                if v.shape[0] % accum != 0:
+                    continue  # stays host; the consumer reshapes it
+                v = v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
             sh = self.upload_sharding
-            if sh is not None and v.shape[0] % max(
+            sharded_dim = 1 if accum > 1 else 0
+            if sh is not None and v.shape[sharded_dim] % max(
                     1, getattr(sh, "num_devices", 1)) != 0:
                 sh = None  # non-divisible leaf: single-device fallback
             dv = jax.device_put(v, sh) if sh is not None \

@@ -45,8 +45,15 @@ def connected_components(nn_idx: Array) -> Array:
 
 
 def compact_labels(labels: Array) -> Tuple[Array, Array]:
-    """Map arbitrary component ids to [0, C); returns (dense_labels, num)."""
-    uniq = jnp.unique(labels, size=labels.shape[0], fill_value=-1)
-    num = jnp.sum(uniq >= 0)
+    """Map arbitrary non-negative component ids to [0, C); returns
+    (dense_labels, num).
+
+    The pad value must sort AFTER every real id — ``jnp.unique`` appends
+    its padding at the END of the sorted prefix, so a pad that compares
+    low (e.g. -1) leaves the array unsorted and breaks the binary search
+    whenever C < N/2 (every label then maps to N)."""
+    pad = jnp.iinfo(labels.dtype).max
+    uniq = jnp.unique(labels, size=labels.shape[0], fill_value=pad)
+    num = jnp.sum(uniq != pad)
     dense = jnp.searchsorted(uniq, labels)
     return dense, num

@@ -1,8 +1,9 @@
 from .mesh import (DATA_AXIS, batch_sharding, get_world_size,
                    initialize_distributed, is_master_proc, make_mesh,
-                   replicate, replicated, shard_batch)
+                   microbatch_sharding, replicate, replicated, shard_batch)
 
 __all__ = [
     "DATA_AXIS", "batch_sharding", "get_world_size", "initialize_distributed",
-    "is_master_proc", "make_mesh", "replicate", "replicated", "shard_batch",
+    "is_master_proc", "make_mesh", "microbatch_sharding", "replicate",
+    "replicated", "shard_batch",
 ]

@@ -49,7 +49,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
+def microbatch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for gradient-accumulation batches shaped (A, b, ...):
+    the scan (microbatch) axis is unsharded, the per-microbatch batch
+    axis splits over the data mesh. Reshaping host-side and sharding
+    axis 1 keeps every microbatch slice device-local — reshaping a
+    batch-sharded (A*b, ...) array inside jit would need an all-to-all."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch, microbatched: bool = False):
     """Host batch -> leading axis sharded over the mesh.
 
     Single-host: plain device_put with a NamedSharding. Multi-host: each
@@ -67,7 +76,7 @@ def shard_batch(mesh: Mesh, batch):
     (2 processes x 4 virtual CPU devices, gloo collectives — the round-2
     claim that this jaxlib lacks cross-process CPU collectives was
     falsified in round 4)."""
-    sh = batch_sharding(mesh)
+    sh = microbatch_sharding(mesh) if microbatched else batch_sharding(mesh)
     rep = replicated(mesh)
     if jax.process_count() > 1:
         return jax.tree.map(

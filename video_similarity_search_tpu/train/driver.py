@@ -43,7 +43,7 @@ from ..data.augment import normalize_only
 from ..evaluation import get_embeddings_and_labels, validate
 from ..evaluation.knn import k_nearest_embeddings
 from ..parallel import (batch_sharding, is_master_proc, make_mesh,
-                        replicate, shard_batch)
+                        microbatch_sharding, replicate, shard_batch)
 from ..utils.meters import AverageMeter, append_metric_line
 from ..utils.profiling import StepProfiler, Throughput
 from .state import create_train_state
@@ -51,40 +51,87 @@ from .steps import (make_contrastive_train_step, make_moco_train_step,
                     make_triplet_train_step)
 
 
-def _shard_host_batch(mesh, batch, keys):
+def _microbatch_leaf(name: str, x, accum: int):
+    """Host leaf (B, ...) -> (A, B/A, ...) for gradient accumulation.
+
+    The triplet collate's ``targets`` is (2B,) laid out
+    [anchor_targets(B); positive_targets(B)] (pipeline.collate_triplets)
+    — a naive contiguous reshape would hand microbatch 0 ALL the anchor
+    targets; instead each microbatch keeps its own [anchors_a; positives_a]
+    halves. Leaves already on device (producer-side ``device_upload``
+    reshapes before upload) pass through."""
+    if isinstance(x, jax.Array):
+        return x
+    x = np.asarray(x)
+    if x.ndim == 0:
+        return x
+    if name == "targets" and x.shape[0] % (2 * accum) == 0:
+        half = x.shape[0] // 2
+        return (x.reshape((2, accum, half // accum) + x.shape[1:])
+                .transpose(1, 0, 2).reshape((accum, -1) + x.shape[1:]))
+    assert x.shape[0] % accum == 0, (
+        f"batch leaf {name!r} (dim0={x.shape[0]}) must divide "
+        f"TRAIN.ACCUM_STEPS={accum}")
+    return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+
+def _shard_host_batch(mesh, batch, keys, accum: int = 1):
     """Shard the named uint8/int arrays of a host batch over the data mesh
     (leading axis split; the reference's DistributedSampler+DDP input path,
     misc/distributed_helper.py + datasets/data_loader.py:283).
 
     Leaves already living on device (the loader's producer-side
     ``device_upload``) pass through without a host round-trip —
-    ``np.asarray`` on a device array would D2H-download it."""
+    ``np.asarray`` on a device array would D2H-download it.
+
+    ``accum > 1`` (TRAIN.ACCUM_STEPS): leaves reshape to (A, B/A, ...)
+    and shard on axis 1, so each scan microbatch inside the train step is
+    device-local (parallel.microbatch_sharding)."""
     def to_host(x):
         return x if isinstance(x, jax.Array) else np.asarray(x)
 
+    if accum > 1:
+        batch = {k: _microbatch_leaf(k, batch[k], accum)
+                 for k in keys if k in batch}
+        if mesh is None:
+            return {k: (v if isinstance(v, jax.Array) else jnp.asarray(v))
+                    for k, v in batch.items()}
+        return shard_batch(mesh, batch, microbatched=True)
     if mesh is None:
         return {k: jnp.asarray(batch[k]) for k in keys if k in batch}
     return shard_batch(mesh, {k: to_host(batch[k])
                               for k in keys if k in batch})
 
 
-def _device_batch(batch, cfg, key, train: bool, mesh=None):
-    """uint8 host batch -> normalized device batch (fused augmentation)."""
+def _device_batch(batch, cfg, key, train: bool, mesh=None, accum: int = 1):
+    """uint8 host batch -> normalized device batch (fused augmentation).
+
+    ``accum > 1``: clip leaves are (A, b, T, H, W, C); augmentation runs
+    per microbatch (each slice of a microbatch-sharded array is
+    device-local) and restacks, preserving the (A, b, ...) layout the
+    accumulating train step scans over."""
     dataset = cfg.TRAIN.DATASET
     clip_names = [k for k in ("anchor", "positive", "extra", "negative")
                   if k in batch]
     sharded = _shard_host_batch(mesh, batch,
-                                clip_names + ["targets", "index"])
+                                clip_names + ["targets", "index"],
+                                accum=accum)
     out = {}
-    keys = jax.random.split(key, max(len(clip_names), 1))
+    keys = jax.random.split(key, max(len(clip_names) * accum, 1))
     for i, name in enumerate(clip_names):
         clips = sharded[name]
-        if train:
+        if not train:
+            out[name] = normalize_only(clips, dataset=dataset)
+        elif accum > 1:
+            out[name] = jnp.stack([
+                train_augment(clips[a], keys[i * accum + a],
+                              cfg.DATA.SAMPLE_SIZE, dataset=dataset,
+                              pre_cropped=bool(cfg.TPU.HOST_RRC))
+                for a in range(accum)])
+        else:
             out[name] = train_augment(clips, keys[i], cfg.DATA.SAMPLE_SIZE,
                                       dataset=dataset,
                                       pre_cropped=bool(cfg.TPU.HOST_RRC))
-        else:
-            out[name] = normalize_only(clips, dataset=dataset)
     out["targets"] = sharded["targets"]
     if "index" in sharded:
         out["index"] = sharded["index"]
@@ -119,11 +166,13 @@ def triplet_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
         losses.update(float(metrics["loss"]), bsz)
         n_triplets.update(float(metrics["n_triplets"]))
 
+    accum = max(1, int(cfg.TRAIN.ACCUM_STEPS))
     for batch_idx, batch in enumerate(train_loader):
         profiler.step(batch_idx)
         key = jax.random.fold_in(base_key, epoch * 100000 + batch_idx)
         aug_key, step_key = jax.random.split(key)
-        dev_batch = _device_batch(batch, cfg, aug_key, train=True, mesh=mesh)
+        dev_batch = _device_batch(batch, cfg, aug_key, train=True, mesh=mesh,
+                                  accum=accum)
         state, metrics = step_fn(state, dev_batch, step_key)
         pending.append((metrics, batch["__size__"]))
         thru.tick(batch["__size__"])
@@ -176,6 +225,7 @@ def contrastive_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
         v1_loss.update(float(metrics["view1_loss"]), bsz)
         v2_loss.update(float(metrics["view2_loss"]), bsz)
 
+    accum = max(1, int(cfg.TRAIN.ACCUM_STEPS))
     for batch_idx, batch in enumerate(train_loader):
         key = jax.random.fold_in(base_key, epoch * 100000 + batch_idx)
         aug_key, step_key = jax.random.split(key)
@@ -183,7 +233,8 @@ def contrastive_train_epoch(state, step_fn, train_loader, cfg, epoch: int,
             # view2 is computed in-graph from view1 — don't upload and
             # augment the positive clip just to discard it
             batch = {k: v for k, v in batch.items() if k != "positive"}
-        dev = _device_batch(batch, cfg, aug_key, train=True, mesh=mesh)
+        dev = _device_batch(batch, cfg, aug_key, train=True, mesh=mesh,
+                            accum=accum)
         step_batch = {"view1": dev["anchor"], "index": dev["index"]}
         if modality != "res":
             step_batch["view2"] = dev["positive"]
@@ -390,6 +441,17 @@ def train(args, cfg) -> None:
         "online_train.py:797-798)")
     assert cfg.VAL.BATCH_SIZE % n_devices == 0, (
         f"VAL.BATCH_SIZE={cfg.VAL.BATCH_SIZE} not divisible by {n_devices}")
+    accum = max(1, int(cfg.TRAIN.ACCUM_STEPS))
+    if accum > 1:
+        if cfg.LOSS.TYPE == "UberNCE":
+            # the momentum-encoder step has no accumulation path (S3D is
+            # ~9x cheaper per clip — there is no memory pressure to split)
+            print("WARN: TRAIN.ACCUM_STEPS ignored for LOSS.TYPE=UberNCE")
+            cfg.TRAIN.ACCUM_STEPS = accum = 1
+        else:
+            assert cfg.TRAIN.BATCH_SIZE % (accum * n_devices) == 0, (
+                f"TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} must divide over "
+                f"ACCUM_STEPS={accum} x {n_devices} devices")
     model = model_selector(cfg)
 
     iter_cluster = bool(getattr(args, "iterative_cluster", False))
@@ -436,13 +498,19 @@ def train(args, cfg) -> None:
     assert cfg.TRAIN.BATCH_SIZE % nproc == 0, (
         f"TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} must divide across "
         f"{nproc} hosts")
-    def with_upload_sharding(loader):
+    def with_upload_sharding(loader, train: bool = False):
         # producer-side uploads go straight to the mesh sharding on
         # multi-chip single-process runs — otherwise every batch stages
         # whole on device 0 and reaches the other chips via a reshard hop
         if loader.device_upload and mesh is not None \
                 and len(mesh.devices.flat) > 1:
-            loader.upload_sharding = batch_sharding(mesh)
+            loader.upload_sharding = (microbatch_sharding(mesh)
+                                      if train and accum > 1
+                                      else batch_sharding(mesh))
+        if train and accum > 1:
+            # uploaded clip leaves arrive pre-reshaped (A, b, ...) so the
+            # consumer never reshapes a batch-sharded array in-jit
+            loader.upload_microbatch = accum
         return loader
 
     def make_train_loader():
@@ -454,7 +522,7 @@ def train(args, cfg) -> None:
             "train", cfg, is_master, triplets=True, shard_index=proc,
             num_shards=nproc, batch_size=cfg.TRAIN.BATCH_SIZE // nproc,
             cluster_labels=latest_cluster_labels["labels"])
-        return with_upload_sharding(loader)
+        return with_upload_sharding(loader, train=True)
 
     train_loader = make_train_loader()
     val_loader, _ = build_data_loader("val", cfg, is_master, triplets=True,

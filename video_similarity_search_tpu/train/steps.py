@@ -123,12 +123,14 @@ def shuffle_view(x: jnp.ndarray, key, block_size: int = 2) -> jnp.ndarray:
     return jnp.take_along_axis(x, idx[:, :, None, None, None], axis=1)
 
 
-def make_triplet_train_step(cfg) -> Callable:
-    """Step for LOSS.TYPE='triplet' (ref triplet_train_epoch :245-434).
+def make_triplet_loss_fn(cfg) -> Callable:
+    """The triplet step's loss body, shared by the plain step and the
+    gradient-accumulation scan (and pinned directly by the accumulation
+    parity test): ``loss_fn(params, state, batch, mine_key, drop_key)``
+    -> (loss, (new_batch_stats, t_loss, aux_loss, n_triplets, new_mem)).
 
-    batch dict: anchor, positive, optional extra (fast_positive / anchor2 /
-    intra_neg per LOSS flags), targets (2B,). Returns (state, metrics).
-    """
+    ``state`` carries apply_fn + batch_stats + mem_triplet; gradients are
+    taken with respect to ``params`` only."""
     margin = cfg.LOSS.MARGIN
     metric = cfg.LOSS.DIST_METRIC
     strategy = cfg.DATASET.SAMPLING_STRATEGY
@@ -139,56 +141,106 @@ def make_triplet_train_step(cfg) -> Callable:
     llc_margin = cfg.LOSS.LOCAL_LOCAL_MARGIN
     llc_weight = cfg.LOSS.LOCAL_LOCAL_WEIGHT
 
+    def loss_fn(params, state, batch, mine_key, drop_key):
+        b = batch["anchor"].shape[0]
+        clips = [batch["anchor"], batch["positive"]]
+        if use_rsp or use_llc or use_intra:
+            clips.append(batch["extra"])
+        emb, new_bs = _encode(state, params, jnp.concatenate(clips, 0),
+                              cfg, train=True,
+                              rngs={"dropout": drop_key})
+        emb2 = emb[:2 * b]
+        if use_mem:
+            # triplets vs the labeled FIFO bank (reference
+            # MemTripletLoss, loss/triplet_loss.py:9-81 — wired here
+            # behind LOSS.MEM_TRIPLET; the reference left it commented
+            # out at online_train.py:538)
+            t_loss, n_triplets, new_mem = mem_triplet_loss(
+                state.mem_triplet, emb2, batch["targets"], mine_key,
+                margin=margin, dist_metric=metric,
+                sampling_strategy=strategy)
+        else:
+            t_loss, n_triplets = online_triplet_loss(
+                emb2, batch["targets"], mine_key, margin=margin,
+                dist_metric=metric, sampling_strategy=strategy)
+            new_mem = state.mem_triplet
+        aux_loss = 0.0
+        if use_rsp:
+            aux_loss = RSP_LAMBDA * rsp_loss(emb[:b], emb[b:2 * b],
+                                             emb[2 * b:], metric)
+        elif use_llc:
+            aux_loss = llc_weight * llc_loss(emb[:b], emb[b:2 * b],
+                                             emb[2 * b:], llc_margin,
+                                             metric)
+        elif use_intra:
+            aux_loss = INTRA_NEG_LAMBDA * intra_neg_loss(
+                emb[:b], emb[b:2 * b], emb[2 * b:], metric)
+        loss = t_loss + aux_loss
+        return loss, (new_bs, t_loss, aux_loss, n_triplets, new_mem)
+
+    return loss_fn
+
+
+def make_triplet_train_step(cfg) -> Callable:
+    """Step for LOSS.TYPE='triplet' (ref triplet_train_epoch :245-434).
+
+    batch dict: anchor, positive, optional extra (fast_positive / anchor2 /
+    intra_neg per LOSS flags), targets (2B,). Returns (state, metrics).
+
+    ``TRAIN.ACCUM_STEPS = A > 1``: batch leaves arrive (A, b, ...) and a
+    ``lax.scan`` runs A microbatches sequentially inside the one jitted
+    step — per-microbatch gradients accumulate and average, the optimizer
+    applies ONCE, BN stats and the mem-triplet bank chain through the
+    scan. Peak activation memory is one microbatch's, so effective
+    batches past the 16 GB emergency-remat regime train at the
+    small-batch MFU optimum (PERF.md round 4). Mining and BN are
+    microbatch-local — the reference's per-GPU DDP semantics with A
+    extra shards."""
+    accum = max(1, int(cfg.TRAIN.ACCUM_STEPS))
+    loss_fn = make_triplet_loss_fn(cfg)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, key):
-        b = batch["anchor"].shape[0]
         mine_key, drop_key = jax.random.split(key)
-
-        def loss_fn(params):
-            clips = [batch["anchor"], batch["positive"]]
-            if use_rsp or use_llc or use_intra:
-                clips.append(batch["extra"])
-            emb, new_bs = _encode(state, params, jnp.concatenate(clips, 0),
-                                  cfg, train=True,
-                                  rngs={"dropout": drop_key})
-            emb2 = emb[:2 * b]
-            if use_mem:
-                # triplets vs the labeled FIFO bank (reference
-                # MemTripletLoss, loss/triplet_loss.py:9-81 — wired here
-                # behind LOSS.MEM_TRIPLET; the reference left it commented
-                # out at online_train.py:538)
-                t_loss, n_triplets, new_mem = mem_triplet_loss(
-                    state.mem_triplet, emb2, batch["targets"], mine_key,
-                    margin=margin, dist_metric=metric,
-                    sampling_strategy=strategy)
-            else:
-                t_loss, n_triplets = online_triplet_loss(
-                    emb2, batch["targets"], mine_key, margin=margin,
-                    dist_metric=metric, sampling_strategy=strategy)
-                new_mem = state.mem_triplet
-            aux_loss = 0.0
-            if use_rsp:
-                aux_loss = RSP_LAMBDA * rsp_loss(emb[:b], emb[b:2 * b],
-                                                 emb[2 * b:], metric)
-            elif use_llc:
-                aux_loss = llc_weight * llc_loss(emb[:b], emb[b:2 * b],
-                                                 emb[2 * b:], llc_margin,
-                                                 metric)
-            elif use_intra:
-                aux_loss = INTRA_NEG_LAMBDA * intra_neg_loss(
-                    emb[:b], emb[b:2 * b], emb[2 * b:], metric)
-            loss = t_loss + aux_loss
-            return loss, (new_bs, t_loss, aux_loss, n_triplets, new_mem)
-
         (loss, (new_bs, t_loss, aux, n_trip, new_mem)), grads = \
-            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state, batch, mine_key, drop_key)
         state = state.apply_gradients(grads).replace(batch_stats=new_bs,
                                                      mem_triplet=new_mem)
         metrics = {"loss": loss, "triplet_loss": t_loss, "aux_loss": aux,
                    "n_triplets": n_trip}
         return state, metrics
 
-    return step
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def accum_step(state: TrainState, batch, key):
+        keys = jax.random.split(key, accum)
+
+        def micro(carry, xs):
+            bs, mem, gsum, lsum, tsum, asum, nsum = carry
+            mb, k = xs
+            mine_key, drop_key = jax.random.split(k)
+            st = state.replace(batch_stats=bs, mem_triplet=mem)
+            (loss, (new_bs, t_loss, aux, n_trip, new_mem)), g = \
+                jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, st, mb, mine_key, drop_key)
+            gsum = jax.tree.map(jnp.add, gsum, g)
+            carry = (new_bs, new_mem, gsum, lsum + loss, tsum + t_loss,
+                     asum + aux, nsum + n_trip)
+            return carry, None
+
+        init = (state.batch_stats, state.mem_triplet,
+                jax.tree.map(jnp.zeros_like, state.params),
+                jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+        (new_bs, new_mem, gsum, lsum, tsum, asum, nsum), _ = jax.lax.scan(
+            micro, init, (batch, keys))
+        grads = jax.tree.map(lambda g: g / accum, gsum)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs,
+                                                     mem_triplet=new_mem)
+        metrics = {"loss": lsum / accum, "triplet_loss": tsum / accum,
+                   "aux_loss": asum / accum, "n_triplets": nsum}
+        return state, metrics
+
+    return accum_step if accum > 1 else step
 
 
 def make_contrastive_train_step(cfg, n_data: int, modality: str = "rgb",
@@ -206,53 +258,54 @@ def make_contrastive_train_step(cfg, n_data: int, modality: str = "rgb",
     advances once per step with the view2 keys."""
     K, T, M = cfg.LOSS.K, cfg.LOSS.T, cfg.LOSS.M
     use_softmax = True
+    accum = max(1, int(cfg.TRAIN.ACCUM_STEPS))
+
+    def loss_fn(params, state, batch, nce_key, view_key, drop_key):
+        view1 = batch["view1"]
+        view2 = (diff_view(view1) if modality == "res"
+                 else batch["view2"])
+        # all views encode in ONE batched forward (2B/3B clips per
+        # conv — the large-batch tiling regime) with per-view BN
+        # statistics; see _encode_views
+        views = [view1, view2]
+        if intra_neg and not use_moco:
+            views.append(shuffle_view(view1, view_key))
+        feats, bs2 = _encode_views(state, params, jnp.stack(views),
+                                   cfg, rngs={"dropout": drop_key})
+        feat1, feat2 = feats[0], feats[1]
+        if use_moco:
+            # view1 queries / view2 keys advance the queue; view2's
+            # logits score against the SAME pre-update memory
+            out2 = memory_moco_logits(state.memory_moco.memory, feat2,
+                                      feat1, T=T)
+            out1, new_mm = memory_moco(state.memory_moco, feat1, feat2,
+                                       T=T, use_softmax=use_softmax,
+                                       n_data=n_data)
+            new_nce = new_mm
+        elif intra_neg:
+            out1, out2, new_nce = nce_average_intra_neg(
+                state.nce, feat1, feat2, feats[2], batch["index"],
+                nce_key, K=K, T=T, momentum=M, use_softmax=use_softmax)
+        else:
+            out1, out2, new_nce = nce_average(
+                state.nce, feat1, feat2, batch["index"], nce_key, K=K,
+                T=T, momentum=M, use_softmax=use_softmax)
+        if use_softmax:
+            l1 = nce_softmax_loss(out1)
+            l2 = nce_softmax_loss(out2)
+        else:
+            l1 = nce_criterion(out1, n_data)
+            l2 = nce_criterion(out2, n_data)
+        loss = l1 + l2
+        probs = (jnp.mean(out1[:, 0]), jnp.mean(out2[:, 0]))
+        return loss, (bs2, new_nce, l1, l2, probs)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, key):
         nce_key, view_key, drop_key = jax.random.split(key, 3)
-
-        def loss_fn(params):
-            view1 = batch["view1"]
-            view2 = (diff_view(view1) if modality == "res"
-                     else batch["view2"])
-            # all views encode in ONE batched forward (2B/3B clips per
-            # conv — the large-batch tiling regime) with per-view BN
-            # statistics; see _encode_views
-            views = [view1, view2]
-            if intra_neg and not use_moco:
-                views.append(shuffle_view(view1, view_key))
-            feats, bs2 = _encode_views(state, params, jnp.stack(views),
-                                       cfg, rngs={"dropout": drop_key})
-            feat1, feat2 = feats[0], feats[1]
-            if use_moco:
-                # view1 queries / view2 keys advance the queue; view2's
-                # logits score against the SAME pre-update memory
-                out2 = memory_moco_logits(state.memory_moco.memory, feat2,
-                                          feat1, T=T)
-                out1, new_mm = memory_moco(state.memory_moco, feat1, feat2,
-                                           T=T, use_softmax=use_softmax,
-                                           n_data=n_data)
-                new_nce = new_mm
-            elif intra_neg:
-                out1, out2, new_nce = nce_average_intra_neg(
-                    state.nce, feat1, feat2, feats[2], batch["index"],
-                    nce_key, K=K, T=T, momentum=M, use_softmax=use_softmax)
-            else:
-                out1, out2, new_nce = nce_average(
-                    state.nce, feat1, feat2, batch["index"], nce_key, K=K,
-                    T=T, momentum=M, use_softmax=use_softmax)
-            if use_softmax:
-                l1 = nce_softmax_loss(out1)
-                l2 = nce_softmax_loss(out2)
-            else:
-                l1 = nce_criterion(out1, n_data)
-                l2 = nce_criterion(out2, n_data)
-            loss = l1 + l2
-            probs = (jnp.mean(out1[:, 0]), jnp.mean(out2[:, 0]))
-            return loss, (bs2, new_nce, l1, l2, probs)
-
         (loss, (new_bs, new_nce, l1, l2, probs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            loss_fn, has_aux=True)(state.params, state, batch, nce_key,
+                                   view_key, drop_key)
         bank = {"memory_moco": new_nce} if use_moco else {"nce": new_nce}
         state = state.apply_gradients(grads).replace(batch_stats=new_bs,
                                                      **bank)
@@ -260,7 +313,45 @@ def make_contrastive_train_step(cfg, n_data: int, modality: str = "rgb",
                    "view1_prob": probs[0], "view2_prob": probs[1]}
         return state, metrics
 
-    return step
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def accum_step(state: TrainState, batch, key):
+        # TRAIN.ACCUM_STEPS microbatches scanned inside the one step:
+        # grads average, the NCE/MoCo bank and BN stats chain through the
+        # scan (each microbatch's indices are distinct, so sequential
+        # bank updates are the exact smaller-batch semantics), optimizer
+        # applies once. See make_triplet_train_step for the memory model.
+        keys = jax.random.split(key, accum)
+        bank0 = state.memory_moco if use_moco else state.nce
+
+        def micro(carry, xs):
+            bs, bank, gsum, sums = carry
+            mb, k = xs
+            nce_key, view_key, drop_key = jax.random.split(k, 3)
+            st = (state.replace(batch_stats=bs, memory_moco=bank)
+                  if use_moco else state.replace(batch_stats=bs, nce=bank))
+            (loss, (new_bs, new_bank, l1, l2, probs)), g = \
+                jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, st, mb, nce_key, view_key, drop_key)
+            gsum = jax.tree.map(jnp.add, gsum, g)
+            sums = tuple(s + v for s, v in zip(
+                sums, (loss, l1, l2, probs[0], probs[1])))
+            return (new_bs, new_bank, gsum, sums), None
+
+        init = (state.batch_stats, bank0,
+                jax.tree.map(jnp.zeros_like, state.params),
+                tuple(jnp.zeros(()) for _ in range(5)))
+        (new_bs, new_bank, gsum, sums), _ = jax.lax.scan(
+            micro, init, (batch, keys))
+        grads = jax.tree.map(lambda g: g / accum, gsum)
+        bank = {"memory_moco": new_bank} if use_moco else {"nce": new_bank}
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs,
+                                                     **bank)
+        loss, l1, l2, p1, p2 = (s / accum for s in sums)
+        metrics = {"loss": loss, "view1_loss": l1, "view2_loss": l2,
+                   "view1_prob": p1, "view2_prob": p2}
+        return state, metrics
+
+    return accum_step if accum > 1 else step
 
 
 def _topk_accuracy(logits, target, ks=(1, 5)):
