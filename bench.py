@@ -116,6 +116,17 @@ def main():
             contrastive = contrastive_step_bench(flops_per_clip, peak)
         except Exception as e:  # noqa: BLE001
             contrastive = {"contrastive_error": str(e)[:120]}
+        try:
+            # gradient accumulation (TRAIN.ACCUM_STEPS): 4 microbatches of
+            # 128 clips scanned in one step — effective 512 clips/step at
+            # ~57% MFU, past both the plain-step OOM wall (2B>=320) and
+            # the 50% emergency-remat regime (PERF.md round 4)
+            train = {**train, **{
+                k.replace("train_", "train_accum_"): v for k, v in
+                train_step_bench(flops_per_clip, peak, batch=256,
+                                 accum=4).items()}}
+        except Exception as e:  # noqa: BLE001
+            train = {**train, "train_accum_error": str(e)[:120]}
     print(json.dumps({
         "metric": "r3d18_embed_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
@@ -145,9 +156,11 @@ def main():
 
 
 def train_step_bench(flops_per_clip: float, peak_tflops: float,
-                     batch: int = None):
+                     batch: int = None, accum: int = 1):
     """Time the jitted triplet train step (R3D-18 bf16, anchor+positive =
-    2B clips/step) at the reference Kinetics batch; returns JSON fields."""
+    2B clips/step) at the reference Kinetics batch; returns JSON fields.
+    ``accum > 1`` times the scan-of-microbatches accumulation step with
+    ``batch`` total anchors split over ``accum`` microbatches."""
     import numpy as np
 
     from video_similarity_search_tpu.config import get_cfg
@@ -163,20 +176,33 @@ def train_step_bench(flops_per_clip: float, peak_tflops: float,
     cfg.RESNET.NO_MAX_POOl = True
     cfg.DATASET.SAMPLING_STRATEGY = "random_semi_hard"
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.TRAIN.ACCUM_STEPS = accum
     model = model_selector(cfg)
     sample = jnp.zeros((2, t, s, s, 3), jnp.bfloat16)
     state = create_train_state(jax.random.key(0), model, cfg, sample)
     step = make_triplet_train_step(cfg)
 
     rng = np.random.default_rng(0)
-    batch_data = {
-        "anchor": jnp.asarray(rng.normal(size=(batch, t, s, s, 3)) * 0.3,
-                              jnp.bfloat16),
-        "positive": jnp.asarray(rng.normal(size=(batch, t, s, s, 3)) * 0.3,
-                                jnp.bfloat16),
-        "targets": jnp.asarray(np.tile(rng.integers(0, 40, batch), 2),
-                               jnp.int32),
-    }
+
+    def clips(shape):  # float32 gen: half the host bytes of default f64
+        return jnp.asarray(rng.standard_normal(shape, np.float32) * 0.3,
+                           jnp.bfloat16)
+
+    b = batch // accum
+    if accum > 1:
+        batch_data = {
+            "anchor": clips((accum, b, t, s, s, 3)),
+            "positive": clips((accum, b, t, s, s, 3)),
+            "targets": jnp.asarray(
+                np.tile(rng.integers(0, 40, (accum, b)), (1, 2)), jnp.int32),
+        }
+    else:
+        batch_data = {
+            "anchor": clips((batch, t, s, s, 3)),
+            "positive": clips((batch, t, s, s, 3)),
+            "targets": jnp.asarray(np.tile(rng.integers(0, 40, batch), 2),
+                                   jnp.int32),
+        }
     state, m = step(state, batch_data, jax.random.key(1))  # compile
     float(m["loss"])
     best = float("inf")
@@ -185,14 +211,17 @@ def train_step_bench(flops_per_clip: float, peak_tflops: float,
         state, m = step(state, batch_data, jax.random.key(2 + i))
         float(m["loss"])  # materialize (axon: block_until_ready unreliable)
         best = min(best, time.perf_counter() - t0)
-    clips = 2 * batch / best
-    train_tflops = clips * 3 * flops_per_clip / 1e12  # fwd+bwd ~ 3x fwd
-    return {
-        "train_clips_per_sec": round(clips, 1),
+    rate = 2 * batch / best
+    train_tflops = rate * 3 * flops_per_clip / 1e12  # fwd+bwd ~ 3x fwd
+    out = {
+        "train_clips_per_sec": round(rate, 1),
         "train_step_ms": round(best * 1e3, 1),
         "train_mfu": round(train_tflops / peak_tflops, 4),
         "train_batch": batch,
     }
+    if accum > 1:
+        out["train_microbatches"] = accum
+    return out
 
 
 def contrastive_step_bench(flops_per_clip: float, peak_tflops: float,

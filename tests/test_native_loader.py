@@ -62,3 +62,28 @@ def test_missing_frame_raises_and_reader_falls_back(jpeg_dir, tmp_path):
     # frames 13/14 don't exist -> repeated frame 12
     np.testing.assert_array_equal(clip[2], clip[3])
     np.testing.assert_array_equal(clip[2], clip[4])
+
+
+def test_rrc_crop_at_image_edge_no_underflow(jpeg_dir):
+    """Pins the defensive upper clamp in resize_window: a crop whose
+    right/bottom edge lands at the last pixel (box->frame rescale + DCT
+    ceil-rounding put it within ulps of w) must interpolate with weights
+    <= 256 — an overshoot would underflow the uint16 complement into
+    garbage edge pixels. The window here sits exactly on the frame
+    boundary under a non-trivial box rescale."""
+    paths = [os.path.join(jpeg_dir, f"image_{i:05d}.jpg")
+             for i in range(1, 5)]
+    # frames are 96x96; box coords in a 97x95 frame push the rescaled
+    # window edge past w-1 by up to ~a pixel
+    out = native_loader.decode_frames_rrc(
+        paths, top=1.0, left=1.0, crop_h=96.0, crop_w=94.0, out_size=64,
+        box_h=97.0, box_w=95.0)
+    assert out.shape == (4, 64, 64, 3)
+    full = native_loader.decode_frames(paths, 96, eval_mode=False)
+    lo, hi = int(full.min()), int(full.max())
+    # underflowed weights produced values far outside the source range
+    assert int(out.min()) >= max(0, lo - 8)
+    assert int(out.max()) <= min(255, hi + 8)
+    # edge column/row specifically
+    assert np.all(out[:, :, -1, :] <= min(255, hi + 8))
+    assert np.all(out[:, -1, :, :] <= min(255, hi + 8))

@@ -58,6 +58,12 @@ void resize_window(const uint8_t* src, int h, int w, float sy, float sx,
   for (int x = 0; x < out; ++x) {
     float fx = ox + x * sx;
     if (fx < 0.f) fx = 0.f;
+    // defensive upper clamp: callers guarantee the window stays inside
+    // the frame, but the float box->frame rescale + DCT ceil-rounding
+    // make that invariant delicate — if fx ever exceeded w, fx - x0
+    // would pass 1 and iwx = 256 - xw would underflow uint16 into
+    // garbage edge pixels
+    if (fx > static_cast<float>(w - 1)) fx = static_cast<float>(w - 1);
     int x0 = static_cast<int>(fx);
     if (x0 > w - 1) x0 = w - 1;
     xi0[x] = x0 * 3;
@@ -89,6 +95,7 @@ void resize_window(const uint8_t* src, int h, int w, float sy, float sx,
   for (int y = 0; y < out; ++y) {
     float fy = oy + y * sy;
     if (fy < 0.f) fy = 0.f;
+    if (fy > static_cast<float>(h - 1)) fy = static_cast<float>(h - 1);
     int y0 = static_cast<int>(fy);
     if (y0 > h - 1) y0 = h - 1;
     const int y1 = y0 + 1 < h ? y0 + 1 : h - 1;

@@ -134,19 +134,17 @@ def _topk_smallest_rows(d: Array, k_eff: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "metric", "exclude_self", "tile",
-                                    "largest", "approx"))
+                                    "approx"))
 def topk_neighbors(queries: Array, bank: Array, k: int,
                    metric: str = "cosine", exclude_self: bool = False,
-                   tile: int = 512, largest: bool = False,
-                   approx: bool = False
+                   tile: int = 512, approx: bool = False
                    ) -> Tuple[Array, Array]:
     """Top-k nearest rows of ``bank`` for each query (tiled over queries).
 
     The retrieval kernel behind ``get_closest_data_mat``/``get_topk_acc``
     (reference evaluate.py:226-231, 287-307), coclr ``topk``
     (coclr_classify.py:784-810) and IIC argsort retrieval
-    (iic_retrieve_clips.py:292-311). ``largest=True`` returns top-k by
-    similarity score instead of smallest distance (same order for cosine).
+    (iic_retrieve_clips.py:292-311).
     ``approx=True`` swaps in the TPU-native ``approx_min_k`` reduction
     (8.5x at a 240k bank, recall 0.998 — see ``_topk_smallest_rows``).
     Returns (indices (N,k), values (N,k)).
