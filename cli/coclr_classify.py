@@ -268,12 +268,23 @@ def main():
 
     sink = MetricsSink(os.path.join(args.output, "metrics"))
 
+    # jitted eval forward: a bare model.apply would dispatch eagerly
+    # op-by-op (orders of magnitude slower over the remote-TPU tunnel)
+    @jax.jit
+    def val_forward(params, batch_stats, clips):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          clips, train=False)
+        return out[0] if isinstance(out, tuple) else out
+
     best_acc = 0.0
     key = jax.random.key(0)
     for epoch in range(args.epochs):
         lr = float(lr_schedule(epoch * steps_per_epoch))
         meters = {k: AverageMeter(k) for k in ("loss", "top1", "top5")}
         train_loader.set_epoch(epoch)
+        pending = []  # defer device metric reads: a per-step float()
+        # would synchronize the dispatch queue and serialize host decode
+        # with device compute (same contract as the pretrain driver)
         for i, batch in enumerate(train_loader):
             k = jax.random.fold_in(key, epoch * 10000 + i)
             clips = train_augment(jnp.asarray(batch["clip"]), k,
@@ -285,8 +296,10 @@ def main():
             dev_batch = {"clips": clips,
                          "label": jnp.asarray(batch["target"])}
             state, m = step_fn(state, dev_batch, k)
+            pending.append((m, len(batch["target"])))
+        for m, n in pending:
             for name in meters:
-                meters[name].update(float(m[name]), len(batch["target"]))
+                meters[name].update(float(m[name]), n)
         print(f"epoch {epoch}: lr {lr:.5f} loss {meters['loss'].avg:.4f} "
               f"top1 {meters['top1'].avg:.4f}")
         sink.add_scalar("train/lr", lr, epoch)
@@ -297,10 +310,7 @@ def main():
         for batch in val_loader:
             clips = normalize_only(jnp.asarray(batch["clip"]),
                                    dataset=cfg.TRAIN.DATASET)
-            out = model.apply({"params": state.params,
-                               "batch_stats": state.batch_stats},
-                              clips, train=False)
-            logits = out[0] if isinstance(out, tuple) else out
+            logits = val_forward(state.params, state.batch_stats, clips)
             n = int(batch.get("__size__", len(batch["target"])))
             pred = np.asarray(jnp.argmax(logits, axis=1))[:n]
             v_top1.update(float(np.mean(pred == batch["target"][:n])), n)

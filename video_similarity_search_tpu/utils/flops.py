@@ -94,11 +94,25 @@ PEAK_TFLOPS = {
     "a100": 312.0,  # A100 SXM bf16 dense (for derivations only)
 }
 
+# jax reports marketing-free device_kind strings: v5e = "TPU v5 lite"
+# (also "TPU v5 litepod"), v5p = "TPU v5", v6e = "TPU v6 lite",
+# v4 = "TPU v4". Substring-matching the short names against these finds
+# NOTHING ("v5e" is not in "tpu v5 lite") and everything silently fell
+# back to the v5e peak — wrong MFU by 2.3-4.7x on v5p/v6e. Ordered
+# patterns, most specific first ("v5 lite" must match before "v5").
+_KIND_PATTERNS = (
+    ("v6 lite", "v6e"), ("v6e", "v6e"),
+    ("v5 lite", "v5e"), ("v5litepod", "v5e"), ("v5e", "v5e"),
+    ("v5p", "v5p"), ("v5", "v5p"),
+    ("v4", "v4"),
+    ("a100", "a100"),
+)
+
 
 def chip_peak_tflops(device_kind: str) -> float:
     """Best-effort map of jax device_kind to bf16 peak TFLOP/s."""
     kind = device_kind.lower()
-    for key, peak in PEAK_TFLOPS.items():
-        if key in kind:
-            return peak
+    for pattern, key in _KIND_PATTERNS:
+        if pattern in kind:
+            return PEAK_TFLOPS[key]
     return PEAK_TFLOPS["v5e"]  # the target hardware (BASELINE.md)
