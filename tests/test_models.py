@@ -258,3 +258,33 @@ def test_remat_same_gradients():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g3)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    rtol=1e-4)
+
+
+def test_model_flops_counter_matches_analytic():
+    """model_flops_per_clip (generic, counted from the model's own
+    conv/dense layers under eval_shape) must equal the hand-derived
+    resnet3d_flops_per_clip on R3D-18 — the convention bench.py's MFU
+    rests on — and produce sane nonzero counts for the architectures
+    with no analytic formula (SlowFast, S3D)."""
+    import jax.numpy as jnp
+
+    from video_similarity_search_tpu.models import generate_model
+    from video_similarity_search_tpu.models.s3d import S3D
+    from video_similarity_search_tpu.models.slowfast import (
+        SlowFast, multipathway_input)
+    from video_similarity_search_tpu.utils.flops import (
+        model_flops_per_clip, resnet3d_flops_per_clip)
+
+    m = generate_model(18, no_max_pool=True, projection_head=True)
+    x = jnp.zeros((2, 16, 128, 128, 3), jnp.float32)
+    assert model_flops_per_clip(m, x) == resnet3d_flops_per_clip()
+
+    # eval_shape only: full-size SlowFast-50 costs no real compute here
+    sf = SlowFast(depth=50)
+    xs = multipathway_input(jnp.zeros((1, 32, 224, 224, 3)), alpha=4)
+    sf_flops = model_flops_per_clip(sf, xs)
+    assert 50e9 < sf_flops < 200e9  # ~100.6 G measured; guard the regime
+
+    s3d = S3D()
+    s3d_flops = model_flops_per_clip(s3d, jnp.zeros((1, 16, 128, 128, 3)))
+    assert s3d_flops > 1e9

@@ -85,3 +85,70 @@ def test_two_process_distributed_train_step():
     assert checks[0]["param_devices"] == checks[1]["param_devices"] == 8
     # deterministic per-host clustering (driver.py:22-25 assumption)
     assert checks[0]["finch_hash"] == checks[1]["finch_hash"]
+
+
+_DRIVER_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "mp_driver_worker.py")
+
+
+@pytest.mark.slow
+def test_two_process_full_driver_itercluster(tmp_path):
+    """The ENTIRE driver.train loop with jax.process_count() == 2: two
+    --iterative_cluster epochs including the post-cluster per-host loader
+    REBUILD (the round-3 multi-host bug site), master-gated writes, and
+    bit-identical final params on both hosts."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synthetic_data import make_synthetic_ucf
+
+    data_root = str(tmp_path / "data")
+    make_synthetic_ucf(data_root)
+    out = str(tmp_path / "out")
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=4"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+
+    procs = [subprocess.Popen(
+        [sys.executable, _DRIVER_WORKER, str(pid), str(port), data_root,
+         out], env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            # ~7 min alone on the 1-core box with a warm compile cache;
+            # cold-cache or contended runs need the headroom
+            o, _ = p.communicate(timeout=1800)
+            outs.append(o)
+    finally:
+        for p in procs:
+            p.kill()
+
+    for pid, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} rc={p.returncode}\n{o[-4000:]}"
+
+    checks = [{}, {}]
+    for o in outs:
+        for line in o.splitlines():
+            if line.startswith("MPCHECK "):
+                rec = json.loads(line[len("MPCHECK "):])
+                checks[rec["p"]][rec["check"]] = rec["v"]
+
+    for pid in range(2):
+        assert checks[pid].get("done") is True, \
+            f"worker {pid} incomplete\n{outs[pid][-2000:]}"
+    # both hosts ran the same number of optimizer steps and hold
+    # BIT-identical replicated params (global gradient collectives)
+    assert checks[0]["final_step"] == checks[1]["final_step"] > 0
+    assert checks[0]["params_hash"] == checks[1]["params_hash"]
+    # master-gating: only process 0's local dir gains artifacts
+    assert checks[0]["wrote_cluster_file"] is True
+    assert checks[0]["wrote_train_log"] is True
+    assert checks[1]["wrote_cluster_file"] is False
+    assert checks[1]["wrote_train_log"] is False
+    # master recorded the per-interval clustering NMIs
+    assert len(checks[0]["nmis"].split()) >= 2

@@ -110,11 +110,22 @@ def save_checkpoint(output_path: str, arch: str, state, epoch: int,
     Layout: ``checkpoint/`` (latest, overwritten), ``model_best/`` copy,
     ``checkpoint_<epoch>/`` every ``keep_every`` epochs
     (online_train.py:749-776 keeps .pth.tar files; here orbax dirs).
+
+    Multi-host: must be called on EVERY process — ``Checkpointer.save``
+    runs cross-process barriers (save_start/save), so a master-only call
+    deadlocks the job (master waits in the barrier, the other hosts have
+    moved on to the next collective; found live in the 2-process
+    full-driver test). Orbax itself writes array data only on process 0
+    (NumpyHandler gates on ``process_index() == 0``), and the host-side
+    dir/copy ops below are gated the same way, so non-primary calls touch
+    no files.
     """
     import orbax.checkpoint as ocp
 
+    primary = jax.process_index() == 0
     base = _ckpt_dir(output_path, arch)
-    os.makedirs(base, exist_ok=True)
+    if primary:
+        os.makedirs(base, exist_ok=True)
     payload = {
         "epoch": epoch + 1,  # reference stores resume epoch (epoch + 1)
         "best_prec1": float(best_prec1),
@@ -130,12 +141,12 @@ def save_checkpoint(output_path: str, arch: str, state, epoch: int,
     ckpt_path = os.path.join(base, "checkpoint")
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(ckpt_path, payload, force=True)
-    if is_best:
+    if is_best and primary:
         best_path = os.path.join(base, "model_best")
         if os.path.exists(best_path):
             shutil.rmtree(best_path)
         shutil.copytree(ckpt_path, best_path)
-    if keep_every and (epoch + 1) % keep_every == 0:
+    if keep_every and (epoch + 1) % keep_every == 0 and primary:
         epoch_path = os.path.join(base, f"checkpoint_{epoch + 1}")
         if os.path.exists(epoch_path):
             shutil.rmtree(epoch_path)

@@ -631,21 +631,26 @@ def train(args, cfg) -> None:
             is_best = top1 > best_prec1
             best_prec1 = max(best_prec1, top1)
 
-        if is_master:
-            # --vector: checkpoint OUTPUT_PATH only on milestone epochs,
-            # but ALWAYS checkpoint the cluster-stable path
-            # (reference online_train.py:756-776)
-            if not vector or (epoch % 100 == 0 or is_best
-                              or epoch == cfg.TRAIN.EPOCHS - 1):
-                save_checkpoint(cfg.OUTPUT_PATH, cfg.MODEL.ARCH, state,
-                                epoch, best_prec1, is_best=is_best)
-            if vector and getattr(args, "checkpoint_path", None):
-                # cluster-stable every-epoch checkpoint: --checkpoint_path
-                # is the ROOT directory; the save lands at
-                # <root>/tnet_checkpoints/<arch>/checkpoint, which is
-                # exactly where _resolve_checkpoint looks on resume
-                save_checkpoint(args.checkpoint_path, cfg.MODEL.ARCH,
-                                state, epoch, best_prec1, is_best=False)
+        # Checkpointing runs on EVERY host, not just the master: orbax's
+        # save barriers across processes and a master-only call deadlocks
+        # (checkpoint.py::save_checkpoint docstring). Only process 0
+        # writes files; the branch conditions below are host-invariant
+        # (epoch/vector/args, and is_best derives from the collective
+        # retrieval result, identical on all hosts).
+        # --vector: checkpoint OUTPUT_PATH only on milestone epochs,
+        # but ALWAYS checkpoint the cluster-stable path
+        # (reference online_train.py:756-776)
+        if not vector or (epoch % 100 == 0 or is_best
+                          or epoch == cfg.TRAIN.EPOCHS - 1):
+            save_checkpoint(cfg.OUTPUT_PATH, cfg.MODEL.ARCH, state,
+                            epoch, best_prec1, is_best=is_best)
+        if vector and getattr(args, "checkpoint_path", None):
+            # cluster-stable every-epoch checkpoint: --checkpoint_path
+            # is the ROOT directory; the save lands at
+            # <root>/tnet_checkpoints/<arch>/checkpoint, which is
+            # exactly where _resolve_checkpoint looks on resume
+            save_checkpoint(args.checkpoint_path, cfg.MODEL.ARCH,
+                            state, epoch, best_prec1, is_best=False)
     sink.close()
     return state
 

@@ -85,6 +85,70 @@ def resnet3d_flops_per_clip(
     return flops
 
 
+def model_flops_per_clip(model, example_input, train: bool = False) -> int:
+    """FLOPs (2*MACs) per clip for ANY flax encoder, counted from the
+    model's own conv/dense layers — no per-architecture formula.
+
+    Captures every ``nn.Conv``/``nn.Dense`` output under ``jax.eval_shape``
+    (abstract, no memory/compute) and pairs it with the layer's kernel
+    param: conv FLOPs = 2 * out_positions * prod(kernel_shape) where the
+    5-d kernel (kt,kh,kw,cin/groups,cout) already encodes grouped convs;
+    dense FLOPs = 2 * leading_positions * prod(kernel_shape). Same
+    convention as :func:`resnet3d_flops_per_clip` (elementwise/BN/pool
+    ignored; validated equal on R3D-18 — tests/test_models.py). Einsum
+    affinities inside Nonlocal blocks are NOT counted (the default
+    SlowFast/S3D configs instantiate none).
+
+    ``example_input`` is a batched clip (or [slow, fast] list for
+    SlowFast); the returned count is per single clip.
+    """
+    import jax
+    import flax.linen as nn
+
+    def init_fn():
+        return model.init(jax.random.key(0), example_input, train=train)
+
+    variables = jax.eval_shape(init_fn)
+
+    def apply_fn(variables):
+        return model.apply(
+            variables, example_input, train=train,
+            capture_intermediates=lambda mdl, name: isinstance(
+                mdl, (nn.Conv, nn.Dense)),
+            mutable=["intermediates", "batch_stats"],
+            rngs={"dropout": jax.random.key(0)} if train else {},
+        )
+
+    _, captured = jax.eval_shape(apply_fn, variables)
+
+    def walk(params, inter, flops=0):
+        for key, sub in inter.items():
+            if key == "__call__":
+                continue
+            if "__call__" in sub:  # a captured Conv/Dense leaf module
+                out = sub["__call__"][0]
+                kernel = params[key]["kernel"]
+                k_flops = 2 * _prod(kernel.shape)
+                # out.shape[0] is the batch dim; dims [1:-1] are the
+                # per-clip output positions (empty for a (B, F) dense)
+                if kernel.ndim > 2:  # conv: every output position
+                    flops += k_flops * _prod(out.shape[1:-1])
+                else:  # dense over possibly-batched leading dims
+                    flops += k_flops * max(1, _prod(out.shape[1:-1]))
+            else:
+                flops = walk(params[key], sub, flops)
+        return flops
+
+    return walk(variables["params"], captured["intermediates"])
+
+
+def _prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
+
+
 # bf16 dense peak per chip, from published TPU/GPU specs.
 PEAK_TFLOPS = {
     "v5e": 197.0,  # TPU v5e bf16
