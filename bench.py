@@ -42,7 +42,34 @@ from video_similarity_search_tpu.utils.flops import (chip_peak_tflops,
                                                      resnet3d_flops_per_clip)
 
 
+def _probe_device(timeout_s: float = 180.0):
+    """Fail fast (with a recorded JSON line) when the remote-TPU tunnel is
+    wedged: ``jax.devices()`` blocks FOREVER if the axon relay died
+    (observed round 4 after a killed server-side compile), which would
+    leave the bench record empty. A daemon-thread probe turns that into
+    an explicit error line. Returns the device list on success."""
+    import threading
+
+    out = {}
+
+    def probe():
+        out["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(json.dumps({
+            "metric": "r3d18_embed_clips_per_sec_per_chip",
+            "value": 0.0, "unit": "clips/s", "vs_baseline": 0.0,
+            "error": f"device init did not return within {timeout_s:.0f}s "
+                     "(remote-TPU tunnel unreachable)"}))
+        os._exit(3)  # the probe thread is stuck in C; no clean exit
+    return out["devices"]
+
+
 def main():
+    _probe_device()
     # batch 256: round-3 optimum on v5e. The sweep is jagged at small
     # batches (64: 859, 80: 904, 128: 979 clips/s) then JUMPS once the
     # flattened batch-time dim lets XLA pack multiple output positions
