@@ -22,7 +22,8 @@ from video_similarity_search_tpu.utils.compile_cache import \
 enable_compile_cache()
 
 from video_similarity_search_tpu.config import arg_parser, load_config
-from video_similarity_search_tpu.parallel import initialize_distributed
+from video_similarity_search_tpu.parallel import (initialize_distributed,
+                                                  maybe_auto_initialize)
 from video_similarity_search_tpu.train.driver import train
 
 
@@ -36,6 +37,11 @@ def main():
     if args.num_shards > 1:
         initialize_distributed(args.ip_address_port.replace("tcp://", ""),
                                args.num_shards, args.shard_id)
+    else:
+        # per-host launch on a multi-host TPU slice without explicit
+        # --num_shards: pick topology up from the TPU env (otherwise each
+        # host would silently run an isolated copy of the whole job)
+        maybe_auto_initialize()
     os.makedirs(cfg.OUTPUT_PATH, exist_ok=True)
     os.makedirs(os.path.join(cfg.OUTPUT_PATH, "tnet_checkpoints"),
                 exist_ok=True)

@@ -87,3 +87,20 @@ def test_prefetch_loader_shards_disjoint():
         seen.append(set(ids))
     assert seen[0].isdisjoint(seen[1])
     assert seen[0] | seen[1] == set(range(20))
+
+
+def test_multihost_env_predicate(monkeypatch):
+    """maybe_auto_initialize's gate: TPU_WORKER_HOSTNAMES with >1 worker
+    means a per-host pod-slice launch (cli/online_train.py auto-inits
+    there); one worker or unset means single host (the sandbox sets
+    'localhost')."""
+    from video_similarity_search_tpu.parallel import multihost_env
+
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    assert multihost_env() is False
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert multihost_env() is False
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "t1w-0,t1w-1")
+    assert multihost_env() is True
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", " t1w-0 , t1w-1 , t1w-2 ")
+    assert multihost_env() is True

@@ -107,6 +107,36 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         )
 
 
+def multihost_env() -> bool:
+    """True when the environment describes a multi-host TPU slice (one
+    launched process per host, topology in env): TPU_WORKER_HOSTNAMES
+    lists more than one worker. Single chip / single host: False."""
+    import os
+
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hosts.split(",") if h.strip()]) > 1
+
+
+def maybe_auto_initialize() -> None:
+    """Bare ``jax.distributed.initialize()`` when launched per-host on a
+    multi-host TPU slice WITHOUT explicit ``--num_shards`` flags — jax
+    reads coordinator/topology from the TPU environment. Without this, a
+    pod-slice launch would silently run per-host-isolated copies of the
+    whole job (process_count stays 1 on every host, each training on the
+    full dataset). No-op on a single host.
+
+    Deliberately does NOT probe ``jax.process_count()`` first: that would
+    initialize the backend, and backend-before-``distributed.initialize``
+    breaks multi-host coordination. A repeated initialize raises
+    RuntimeError, which is swallowed (already initialized = done)."""
+    if not multihost_env():
+        return
+    try:
+        jax.distributed.initialize()
+    except RuntimeError:
+        pass  # already initialized (explicit --num_shards path ran first)
+
+
 def is_master_proc() -> bool:
     """Reference misc/distributed_helper.py:68-73."""
     return jax.process_index() == 0
