@@ -279,3 +279,46 @@ def test_lmdb_lite_interop_with_pylmdb(tmp_path):
         for k, v in mapping.items():
             assert bytes(txn.get(k)) == v
     env.close()
+
+
+def test_lmdb_lite_property_roundtrip(tmp_path):
+    """Property test of the vendored pager (data/lmdb_lite.py) against its
+    own spec-conformant writer: random key/value sets spanning the
+    interesting format regimes — multi-page leaf spill (B+tree branch
+    descent), F_BIGDATA overflow values (single- and multi-page), empty
+    values, binary keys with shared prefixes — must round-trip exactly
+    via both get() and items() (which must also be key-ordered)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from video_similarity_search_tpu.data.lmdb_lite import LiteEnv, write_lmdb
+
+    keys = st.binary(min_size=1, max_size=48)
+    # value sizes: inline small, page-boundary ~2k, overflow 1-page ~5k,
+    # multi-page overflow ~12k
+    values = st.one_of(
+        st.binary(min_size=0, max_size=64),
+        st.binary(min_size=1900, max_size=2200),
+        st.binary(min_size=4000, max_size=5000),
+        st.integers(min_value=9000, max_value=13000).map(
+            lambda n: bytes((i * 31) & 0xFF for i in range(n))),
+    )
+
+    counter = [0]
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.dictionaries(keys, values, min_size=1, max_size=80))
+    def check(mapping):
+        counter[0] += 1
+        db = str(tmp_path / f"prop_{counter[0]}.lmdb")
+        write_lmdb(db, mapping)
+        with LiteEnv(db) as env:
+            for k, v in mapping.items():
+                got = env.get(k)
+                assert got == v, (k, len(v), None if got is None else len(got))
+            assert env.get(b"\x00definitely-absent\xff") is None
+            listed = list(env.items())
+        assert [k for k, _ in listed] == sorted(mapping)
+        assert dict(listed) == mapping
+
+    check()

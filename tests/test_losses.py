@@ -276,3 +276,44 @@ def test_mem_triplet_wired_into_triplet_step():
     assert int(state.mem_triplet.queue_ptr) == (ptr0 + 16) % 16
     # the bank now stores real labels, not the -1 fill
     assert np.all(np.asarray(state.mem_triplet.label_q) >= 0)
+
+
+def test_deterministic_mining_property_vs_oracle():
+    """Hypothesis sweep of the vectorized deterministic strategies against
+    the pairwise numpy oracle across batch sizes, label cardinalities
+    (incl. degenerate all-one-label / all-distinct batches where the
+    valid-triplet set collapses), margins, and embedding scales."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(min_value=2, max_value=12),
+           st.integers(min_value=1, max_value=6),
+           st.sampled_from([0.05, 0.2, 0.8]),
+           st.integers(0, 2 ** 31))
+    def check(b, n_labels, margin, seed):
+        rng = np.random.default_rng(seed)
+        emb = jnp.asarray(rng.normal(size=(2 * b, 8)).astype(np.float32))
+        labels_np = np.concatenate([rng.integers(0, n_labels, b)] * 2)
+        labels = jnp.asarray(labels_np)
+
+        loss, count = online_triplet_loss(
+            emb, labels, KEY, margin=margin, sampling_strategy="adapted_hard")
+        expect, expect_count = _numpy_margin_loss(
+            np.asarray(emb), labels_np, margin,
+            lambda ap, an, m: int(np.argmin(an)))
+        assert int(count) == expect_count, (b, n_labels, seed)
+        np.testing.assert_allclose(float(loss), expect, atol=1e-5)
+
+        def semi_rule(ap, an, m):
+            l = ap + m - an
+            return int(np.argmax(l)) if (l > 0).any() else int(np.argmin(an))
+
+        loss2, count2 = online_triplet_loss(
+            emb, labels, KEY, margin=margin,
+            sampling_strategy="fixed_semi_hard")
+        expect2, expect_count2 = _numpy_margin_loss(
+            np.asarray(emb), labels_np, margin, semi_rule)
+        assert int(count2) == expect_count2, (b, n_labels, seed)
+        np.testing.assert_allclose(float(loss2), expect2, atol=1e-5)
+
+    check()

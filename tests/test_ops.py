@@ -174,3 +174,34 @@ def test_compact_labels_sparse_components():
     for c in np.unique(np.asarray(big)):
         vals = np.asarray(dense)[np.asarray(big) == c]
         assert len(set(vals.tolist())) == 1
+
+
+def test_connected_components_property_vs_scipy():
+    """Hypothesis sweep of the pointer-jumping CC kernel (ops/cc — the
+    FINCH level-0 engine at 240k scale) over adversarial first-neighbor
+    graphs: long chains, 2-cycles, stars, self-pointing-fixed nodes —
+    partition must equal scipy's on the symmetrized graph every time."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(min_value=2, max_value=400), st.integers(0, 2 ** 31))
+    def check(n, seed):
+        rng = np.random.default_rng(seed)
+        nn_idx = rng.integers(0, n, size=n)
+        self_pt = nn_idx == np.arange(n)
+        nn_idx[self_pt] = (nn_idx[self_pt] + 1) % n
+        labels = np.asarray(connected_components(nn_idx.astype(np.int32)))
+        rows = np.arange(n)
+        a = sp.coo_matrix((np.ones(n), (rows, nn_idx)), shape=(n, n))
+        n_comp, expect = scipy_cc(a + a.T, directed=False)
+        assert len(np.unique(labels)) == n_comp
+        # identical partition: our label is constant on every scipy
+        # component, and distinct across components
+        seen = {}
+        for comp in range(n_comp):
+            ours = np.unique(labels[expect == comp])
+            assert len(ours) == 1, (n, seed, comp)
+            assert ours[0] not in seen, (n, seed, comp)
+            seen[ours[0]] = comp
+
+    check()
