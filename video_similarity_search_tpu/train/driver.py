@@ -462,6 +462,20 @@ def train(args, cfg) -> None:
     ckpt_path = _resolve_checkpoint(
         getattr(args, "checkpoint_path", None), cfg.MODEL.ARCH,
         allow_missing=bool(getattr(args, "vector", False)))
+    if jax.process_count() > 1:
+        # checkpoint paths must resolve identically on every host (shared
+        # filesystem, the reference's assumption too): orbax restore runs
+        # cross-process barriers, so a host-dependent resolution (file on
+        # the master's local disk only) would deadlock exactly like the
+        # master-gated save did. Fail loudly instead.
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.int32(ckpt_path is not None))
+        assert int(flags.min()) == int(flags.max()), (
+            f"--checkpoint_path resolves on only {int(flags.sum())}/"
+            f"{jax.process_count()} hosts — checkpoints must live on a "
+            "filesystem shared by every host")
     payload = load_checkpoint(ckpt_path) if ckpt_path else None
     start_epoch, best_prec1 = 0, 0.0
     if payload is not None:
