@@ -104,3 +104,46 @@ def test_multihost_env_predicate(monkeypatch):
     assert multihost_env() is True
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", " t1w-0 , t1w-1 , t1w-2 ")
     assert multihost_env() is True
+
+
+def test_2d_mesh_trains_one_step():
+    """TPU.MESH_SHAPE 2-D layout (reserved in make_mesh for e.g. a
+    [hosts, chips] factorization): batch shards over the trailing 'data'
+    axis, params replicate over BOTH axes, and one real triplet train
+    step executes with finite loss — the gradient psum spans the whole
+    mesh, so the axis-0 replicas stay bit-identical."""
+    import argparse
+
+    from video_similarity_search_tpu.config import get_cfg
+    from video_similarity_search_tpu.models import model_selector
+    from video_similarity_search_tpu.train.driver import _make_step_and_state
+
+    mesh = make_mesh(jax.devices()[:8], mesh_shape=[2, 4])
+    assert mesh.axis_names[-1] == "data" and mesh.devices.shape == (2, 4)
+
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "3dresnet"
+    cfg.RESNET.MODEL_DEPTH = 10
+    cfg.RESNET.NO_MAX_POOl = True
+    cfg.RESNET.OUT_DIM = 16
+    cfg.DATA.SAMPLE_DURATION = 4
+    cfg.DATA.SAMPLE_SIZE = 16
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.DATASET.SAMPLING_STRATEGY = "random_semi_hard"
+    args = argparse.Namespace(checkpoint_path=None, start_epoch=None,
+                              iterative_cluster=False, vector=False)
+    step, state = _make_step_and_state(args, cfg, model_selector(cfg),
+                                       n_data=16, mesh=mesh)
+    state = replicate(mesh, state)
+    rng = np.random.default_rng(0)
+    with mesh:
+        batch = shard_batch(mesh, {
+            "anchor": rng.normal(size=(8, 4, 16, 16, 3)).astype(np.float32),
+            "positive": rng.normal(size=(8, 4, 16, 16, 3)).astype(np.float32),
+            "targets": np.tile(rng.integers(0, 3, 8), 2).astype(np.int32),
+        })
+        assert batch["anchor"].sharding.num_devices == 8
+        state, metrics = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    leaf = jax.tree.leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
