@@ -30,6 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     pid, port = int(sys.argv[1]), int(sys.argv[2])
     data_root, out_dir = sys.argv[3], sys.argv[4]
+    # 'perproc' (default): per-process out dirs — master-gating is
+    # assertable. 'shared': ONE out dir for both hosts (the realistic
+    # shared-filesystem deployment) — exercises the all-host orbax save
+    # into one path AND a cross-process orbax RESTORE afterwards.
+    mode = sys.argv[5] if len(sys.argv) > 5 else "perproc"
 
     import jax
 
@@ -74,7 +79,8 @@ def main() -> None:
     # assertable — ONLY process 0's dir may gain checkpoints/logs, and the
     # non-master host must finish the rebuild epochs WITHOUT ever reading
     # a vid_clusters.txt back (in-memory labels)
-    out_dir = os.path.join(out_dir, f"p{pid}")
+    if mode == "perproc":
+        out_dir = os.path.join(out_dir, f"p{pid}")
     cfg.OUTPUT_PATH = out_dir
     cfg.TPU.COMPUTE_DTYPE = "float32"
     os.makedirs(out_dir, exist_ok=True)
@@ -99,6 +105,24 @@ def main() -> None:
          os.path.exists(os.path.join(logs, "train_loss_and_acc.txt")))
     nmi_path = os.path.join(logs, "NMIs.txt")
     emit("nmis", open(nmi_path).read() if os.path.exists(nmi_path) else "")
+
+    if mode == "shared":
+        # cross-process orbax RESTORE from the shared checkpoint: every
+        # host must call it (restore barriers like save); the restored
+        # payload must carry the final epoch and BIT-identical params
+        from video_similarity_search_tpu.train.checkpoint import \
+            load_checkpoint
+        from video_similarity_search_tpu.train.driver import \
+            _resolve_checkpoint
+
+        ckpt = _resolve_checkpoint(out_dir, cfg.MODEL.ARCH)
+        payload = load_checkpoint(ckpt)
+        emit("restored_epoch", int(payload["epoch"]))
+        rh = hashlib.sha256()
+        for leaf in jax.tree_util.tree_leaves(payload["params"]):
+            rh.update(np.asarray(leaf).tobytes())
+        emit("restored_params_hash", rh.hexdigest()[:16])
+
     emit("done", True)
 
 

@@ -152,3 +152,64 @@ def test_two_process_full_driver_itercluster(tmp_path):
     assert checks[1]["wrote_train_log"] is False
     # master recorded the per-interval clustering NMIs
     assert len(checks[0]["nmis"].split()) >= 2
+
+
+@pytest.mark.slow
+def test_two_process_shared_outdir_checkpoint_and_restore(tmp_path):
+    """The realistic shared-filesystem deployment: BOTH hosts run
+    driver.train with ONE OUTPUT_PATH. The all-host orbax save must
+    coordinate into the single checkpoint dir (process 0 writes), and a
+    cross-process orbax RESTORE afterwards (which barriers like save)
+    must hand every host the final epoch and bit-identical params."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synthetic_data import make_synthetic_ucf
+
+    data_root = str(tmp_path / "data")
+    make_synthetic_ucf(data_root)
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=4"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+
+    procs = [subprocess.Popen(
+        [sys.executable, _DRIVER_WORKER, str(pid), str(port), data_root,
+         out, "shared"], env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            o, _ = p.communicate(timeout=1800)
+            outs.append(o)
+    finally:
+        for p in procs:
+            p.kill()
+
+    for pid, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} rc={p.returncode}\n{o[-4000:]}"
+
+    checks = [{}, {}]
+    for o in outs:
+        for line in o.splitlines():
+            if line.startswith("MPCHECK "):
+                rec = json.loads(line[len("MPCHECK "):])
+                checks[rec["p"]][rec["check"]] = rec["v"]
+
+    for pid in range(2):
+        assert checks[pid].get("done") is True, \
+            f"worker {pid} incomplete\n{outs[pid][-2000:]}"
+    assert checks[0]["final_step"] == checks[1]["final_step"] > 0
+    assert checks[0]["params_hash"] == checks[1]["params_hash"]
+    # one shared checkpoint dir, written once, restored on BOTH hosts
+    assert checks[0]["restored_epoch"] == checks[1]["restored_epoch"] == 2
+    assert checks[0]["restored_params_hash"] == \
+        checks[1]["restored_params_hash"]
+    # the restored params are the live final params (same hash basis:
+    # sha256 over leaf bytes in tree order)
+    assert checks[0]["restored_params_hash"] == checks[0]["params_hash"]
