@@ -42,4 +42,25 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax  # noqa: E402
 
+# The env write above is NOT enough on its own: the sandbox's
+# sitecustomize imports jax at interpreter start (to register the axon
+# PJRT plugin), which freezes config defaults from the ORIGINAL env —
+# observed round 4 as an unprefixed `pytest tests/` run landing on
+# device_count()==1 and taking 41 min for two files. config.update works
+# as long as no backend is initialized yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+
+
+def pytest_configure(config):
+    # Fail the whole run loudly rather than executing 190 tests on the
+    # wrong backend (single-device CPU or the remote-TPU tunnel, where
+    # mesh tests fail confusingly and everything crawls).
+    n = jax.device_count()
+    platform = jax.devices()[0].platform
+    if platform != "cpu" or n < 8:
+        raise RuntimeError(
+            f"test suite needs >=8 virtual CPU devices, got {n} "
+            f"{platform!r} device(s) — a backend was initialized before "
+            "conftest could configure it. Invoke as: PALLAS_AXON_POOL_IPS= "
+            "JAX_PLATFORMS=cpu python -m pytest tests/")
