@@ -50,7 +50,10 @@ def test_two_process_distributed_train_step():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
+            # ~2 min warm; a COLD compile cache on a fresh machine takes
+            # far longer (two processes compiling concurrently on however
+            # few cores exist) — give headroom rather than flake
+            out, _ = p.communicate(timeout=1500)
             outs.append(out)
     finally:
         for p in procs:
