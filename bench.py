@@ -38,8 +38,22 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 from video_similarity_search_tpu.models import generate_model
+from video_similarity_search_tpu.utils import ramp_guard
 from video_similarity_search_tpu.utils.flops import (chip_peak_tflops,
                                                      resnet3d_flops_per_clip)
+
+# Shapes proven by prior DRIVER-CAPTURED runs (BENCH_r03.json executed all
+# of these on the real chip). Seeded into the ramp-guard ledger so the
+# one-new-shape-per-invocation budget (round-4 parking rule, encoded in
+# utils/ramp_guard.py) applies only to genuinely new experiments — e.g. an
+# env-overridden BENCH_BATCH.
+_PROVEN_SHAPES = [
+    "r3d18/embed/b256",
+    "r3d18/train/b104/accum1",
+    "r3d18/train/b64/accum1",
+    "r3d18/train/b256/accum4",
+    "r3d18/contrastive/b64",
+]
 
 
 def _probe_device(timeout_s: float = 180.0):
@@ -70,6 +84,7 @@ def _probe_device(timeout_s: float = 180.0):
 
 def main():
     _probe_device()
+    ramp_guard.seed_known_good(_PROVEN_SHAPES)
     # batch 256: round-3 optimum on v5e. The sweep is jagged at small
     # batches (64: 859, 80: 904, 128: 979 clips/s) then JUMPS once the
     # flattened batch-time dim lets XLA pack multiple output positions
@@ -112,8 +127,12 @@ def main():
     # warmup / compile. Each timed call gets a UNIQUE seed argument and the
     # result is materialized with float(): on the experimental axon
     # platform block_until_ready() returns early and identical calls can be
-    # served from a cache — both would report impossible throughput.
-    float(embed_many(params, stats, x, jnp.float32(-1)))
+    # served from a cache — both would report impossible throughput. The
+    # compile rides the ramp guard: liveness-probed, and a non-proven
+    # BENCH_BATCH counts against the one-new-shape-per-invocation budget.
+    ramp_guard.guarded_compile(
+        f"r3d18/embed/b{batch}",
+        lambda: float(embed_many(params, stats, x, jnp.float32(-1))))
 
     best = float("inf")
     for rep in range(3):
@@ -230,8 +249,13 @@ def train_step_bench(flops_per_clip: float, peak_tflops: float,
             "targets": jnp.asarray(np.tile(rng.integers(0, 40, batch), 2),
                                    jnp.int32),
         }
-    state, m = step(state, batch_data, jax.random.key(1))  # compile
-    float(m["loss"])
+    def compile_step():
+        s, m = step(state, batch_data, jax.random.key(1))
+        float(m["loss"])
+        return s
+
+    state = ramp_guard.guarded_compile(
+        f"r3d18/train/b{batch}/accum{accum}", compile_step)
     best = float("inf")
     for i in range(4):
         t0 = time.perf_counter()
@@ -285,8 +309,14 @@ def contrastive_step_bench(flops_per_clip: float, peak_tflops: float,
           "view2": jnp.asarray(rng.normal(size=(b, t, s, s, 3)) * 0.3,
                                jnp.bfloat16),
           "index": jnp.arange(b, dtype=jnp.int32)}
-    state, m = step(state, bd, jax.random.key(1))
-    float(m["loss"])
+    def compile_step():
+        s, m = step(s0, bd, jax.random.key(1))
+        float(m["loss"])
+        return s
+
+    s0 = state
+    state = ramp_guard.guarded_compile(f"r3d18/contrastive/b{batch}",
+                                       compile_step)
     best = float("inf")
     for i in range(3):
         t0 = time.perf_counter()
