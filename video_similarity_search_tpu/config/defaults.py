@@ -133,6 +133,11 @@ def _build_default_cfg() -> ConfigNode:
     _C.LOSS.LOCAL_LOCAL_WEIGHT = 1.0
     _C.LOSS.LOCAL_LOCAL_MARGIN = 0.04
     _C.LOSS.INTRA_NEGATIVE = False
+    # Replicate the reference's inverted intra-neg objective (its block is
+    # a copy-paste of LOCAL_LOCAL_CONTRAST that pulls the shuffled clip
+    # CLOSER, online_train.py:334-360) for bug-for-bug curve comparison;
+    # default False = the intended objective (losses/combos.py).
+    _C.LOSS.INTRA_NEG_REFERENCE_COMPAT = False
 
     # -- Optimizer (:145-150) --------------------------------------------------------------
     _C.OPTIM = ConfigNode()

@@ -190,6 +190,13 @@ class PrefetchLoader:
         accum = max(1, int(self.upload_microbatch))
         for k, v in big.items():
             if accum > 1:
+                if v.ndim < 4:
+                    # Non-clip leaves (e.g. the triplet 'targets' (2B,)
+                    # vector, interleaved [anchors; positives]) need the
+                    # consumer's per-microbatch interleaved layout
+                    # (driver._microbatch_leaf), not this contiguous
+                    # reshape — leave them on host.
+                    continue
                 if v.shape[0] % accum != 0:
                     continue  # stays host; the consumer reshapes it
                 v = v.reshape((accum, v.shape[0] // accum) + v.shape[1:])

@@ -19,7 +19,8 @@ from .retrieval import TOPK_DEFAULT, topk_retrieval_acc
 
 
 def k_nearest_embeddings(state, model, cfg, train_loader, test_loader, *,
-                         epoch: int = 0, cache_dir: Optional[str] = None,
+                         epoch: Optional[int] = None,
+                         cache_dir: Optional[str] = None,
                          is_master_proc: bool = True
                          ) -> Dict[int, float]:
     """Full retrieval eval; returns {k: acc} and logs to
@@ -27,10 +28,12 @@ def k_nearest_embeddings(state, model, cfg, train_loader, test_loader, *,
     reference's log line drops top-10/20 due to a format-string bug,
     SURVEY §7.4; we log all four)."""
     # cache keyed by split AND epoch: the reference's split-only pkl names
-    # (evaluate.py:313-345) are fine for its one-shot eval CLI, but a
-    # caller passing cache_dir across epochs would silently reuse epoch-0
-    # embeddings forever (and freeze any is_best decision on them)
-    suffix = f"_ep{epoch}" if epoch else ""
+    # (evaluate.py:313-345) are fine for its one-shot eval CLI (epoch=None
+    # keeps those names), but a caller passing cache_dir across epochs
+    # would silently reuse stale embeddings forever (and freeze any
+    # is_best decision on them) — so ANY explicit epoch, including 0, is
+    # suffixed (`if epoch` was falsy at epoch 0 and read the legacy pkl).
+    suffix = f"_ep{epoch}" if epoch is not None else ""
     test_cache = os.path.join(cache_dir, f"test_embeddings{suffix}.pkl") \
         if cache_dir else None
     train_cache = os.path.join(cache_dir, f"train_embeddings{suffix}.pkl") \
@@ -59,10 +62,11 @@ def k_nearest_embeddings(state, model, cfg, train_loader, test_loader, *,
                               metric=cfg.LOSS.DIST_METRIC,
                               approx=bool(cfg.TPU.APPROX_TOPK))
     if is_master_proc:
+        ep = 0 if epoch is None else epoch  # one-shot CLI logs as epoch 0
         line = " ".join(f"top{k}:{v:.4f}" for k, v in sorted(topk.items()))
-        print(f"Retrieval epoch {epoch}: {line}")
+        print(f"Retrieval epoch {ep}: {line}")
         append_metric_line(cfg.OUTPUT_PATH, "global_retrieval_acc.txt",
-                           f"epoch:{epoch} {line}")
+                           f"epoch:{ep} {line}")
     return topk
 
 

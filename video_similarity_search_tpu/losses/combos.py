@@ -46,7 +46,8 @@ def llc_loss(out_anc: Array, out_pos: Array, out_anc2: Array,
 
 
 def intra_neg_loss(out_anc: Array, out_pos: Array, out_intra_neg: Array,
-                   dist_metric: str = "cosine") -> Array:
+                   dist_metric: str = "cosine",
+                   reference_compat: bool = False) -> Array:
     """Intra-negative: the temporally shuffled anchor must sit FARTHER than
     the positive — loss = relu(d(anc,pos) - d(anc,shuffled) + margin).
 
@@ -58,7 +59,12 @@ def intra_neg_loss(out_anc: Array, out_pos: Array, out_intra_neg: Array,
     PULLS the shuffled "negative" closer than the positive: the inverse
     of an intra-negative objective (and of the SLIC paper's described
     use of shuffled clips as negatives). Here the roles are the intended
-    way around."""
+    way around by default; ``reference_compat=True``
+    (cfg LOSS.INTRA_NEG_REFERENCE_COMPAT) replicates the reference's
+    inverted objective bit-for-bit for anyone reproducing its
+    LOSS.INTRA_NEGATIVE training curves."""
     d_ap = pairwise_dist(out_anc, out_pos, dist_metric)
     d_an = pairwise_dist(out_anc, out_intra_neg, dist_metric)
+    if reference_compat:
+        d_ap, d_an = d_an, d_ap
     return margin_ranking_loss(d_ap, d_an, INTRA_NEG_MARGIN)

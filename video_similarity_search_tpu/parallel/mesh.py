@@ -133,8 +133,16 @@ def maybe_auto_initialize() -> None:
         return
     try:
         jax.distributed.initialize()
-    except RuntimeError:
-        pass  # already initialized (explicit --num_shards path ran first)
+    except RuntimeError as e:
+        # ONLY the already-initialized case is benign (explicit
+        # --num_shards path ran first). Anything else — unreachable
+        # coordinator, bad topology env — must not be swallowed: that
+        # would silently degrade a pod-slice launch into per-host
+        # isolated jobs, the exact failure this function exists to
+        # prevent (jax raises "distributed.initialize should only be
+        # called once." for the benign case).
+        if "only be called once" not in str(e):
+            raise
 
 
 def is_master_proc() -> bool:

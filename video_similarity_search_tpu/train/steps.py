@@ -138,6 +138,7 @@ def make_triplet_loss_fn(cfg) -> Callable:
     use_rsp = cfg.LOSS.RELATIVE_SPEED_PERCEPTION
     use_llc = cfg.LOSS.LOCAL_LOCAL_CONTRAST
     use_intra = cfg.LOSS.INTRA_NEGATIVE
+    intra_compat = getattr(cfg.LOSS, "INTRA_NEG_REFERENCE_COMPAT", False)
     llc_margin = cfg.LOSS.LOCAL_LOCAL_MARGIN
     llc_weight = cfg.LOSS.LOCAL_LOCAL_WEIGHT
 
@@ -174,7 +175,8 @@ def make_triplet_loss_fn(cfg) -> Callable:
                                              metric)
         elif use_intra:
             aux_loss = INTRA_NEG_LAMBDA * intra_neg_loss(
-                emb[:b], emb[b:2 * b], emb[2 * b:], metric)
+                emb[:b], emb[b:2 * b], emb[2 * b:], metric,
+                reference_compat=intra_compat)
         loss = t_loss + aux_loss
         return loss, (new_bs, t_loss, aux_loss, n_triplets, new_mem)
 
