@@ -165,3 +165,42 @@ def test_intra_neg_compat_flag_in_config():
     from video_similarity_search_tpu.config import get_cfg
 
     assert get_cfg().LOSS.INTRA_NEG_REFERENCE_COMPAT is False
+
+
+# ---- 5. BN compute-dtype perf-ablation hook ------------------------------
+
+def test_bn_dtype_ablation_hook(monkeypatch):
+    """VSS_BN_DTYPE=bfloat16 switches the BN normalization arithmetic to
+    bf16 (the round-5 epilogue ablation); default stays f32 and is
+    bit-identical to the pre-hook behavior."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_similarity_search_tpu.models.layers import (
+        BatchNorm, _bn_compute_dtype)
+
+    monkeypatch.delenv("VSS_BN_DTYPE", raising=False)
+    assert _bn_compute_dtype() == jnp.float32
+    monkeypatch.setenv("VSS_BN_DTYPE", "bfloat16")
+    assert _bn_compute_dtype() == jnp.bfloat16
+    monkeypatch.setenv("VSS_BN_DTYPE", "nonsense")
+    assert _bn_compute_dtype() == jnp.float32
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 8)) * 3 + 1, jnp.float32)
+    bn = BatchNorm(use_running_average=False, dtype=jnp.float32)
+    monkeypatch.delenv("VSS_BN_DTYPE", raising=False)
+    vs = bn.init(jax.random.key(0), x)
+    base, _ = bn.apply(vs, x, mutable=["batch_stats"])
+    assert base.dtype == jnp.float32
+    monkeypatch.setenv("VSS_BN_DTYPE", "bfloat16")
+    alt, _ = bn.apply(vs, x, mutable=["batch_stats"])
+    # still normalized (mean~0, var~1) but with bf16 rounding: close to
+    # the f32 result, not bit-identical
+    np.testing.assert_allclose(np.asarray(alt, np.float32),
+                               np.asarray(base), atol=0.05)
+    assert not np.array_equal(np.asarray(alt, np.float32),
+                              np.asarray(base))
+    # running stats stay f32 params either way
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree.leaves(vs["batch_stats"]))

@@ -9,6 +9,7 @@ checkpoint boundary.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
@@ -75,14 +76,30 @@ class Conv3d(nn.Module):
 BN_MOMENTUM = 0.9
 
 
+def _bn_compute_dtype():
+    """Perf-ablation hook (round-4 verdict item 3): the train-step profile
+    attributes ~8 MFU points to BN batch-statistic epilogues (f32
+    `convert_reduce_fusion` sums fused into every conv, PERF.md round-4
+    attribution). ``VSS_BN_DTYPE=bfloat16`` runs the BN normalization
+    arithmetic (and therefore the fused stat sums) in bf16 so the cost
+    can be measured inside the SHIPPED step. Default — and anything
+    unrecognized — stays f32; running stats remain f32 params either
+    way. Read at trace time: set the env var before building the step."""
+    return (jnp.bfloat16
+            if os.environ.get("VSS_BN_DTYPE") == "bfloat16"
+            else jnp.float32)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch-equivalent defaults (momentum 0.1, eps 1e-5).
 
-    Statistics are computed in fp32 regardless of compute dtype. Under jit
-    with a batch axis sharded over the mesh, the batch-mean reduction is
-    global, so this is cross-replica ("sync") BN by construction — the
-    TPU-native equivalent of the reference's SyncBatchNorm /
-    NaiveSyncBatchNorm3d (models/slowfast/slowfast/models/batchnorm_helper.py:122-222).
+    Statistics are computed in fp32 regardless of compute dtype (unless
+    the ``VSS_BN_DTYPE`` ablation hook overrides — see
+    ``_bn_compute_dtype``). Under jit with a batch axis sharded over the
+    mesh, the batch-mean reduction is global, so this is cross-replica
+    ("sync") BN by construction — the TPU-native equivalent of the
+    reference's SyncBatchNorm / NaiveSyncBatchNorm3d
+    (models/slowfast/slowfast/models/batchnorm_helper.py:122-222).
     ``axis_name`` is only needed under shard_map/pmap.
     """
 
@@ -95,14 +112,15 @@ class BatchNorm(nn.Module):
         ura = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
+        stat_dtype = _bn_compute_dtype()
         return nn.BatchNorm(
             use_running_average=ura,
             momentum=BN_MOMENTUM,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=stat_dtype,
             param_dtype=jnp.float32,
             axis_name=self.axis_name,
-        )(x.astype(jnp.float32)).astype(self.dtype)
+        )(x.astype(stat_dtype)).astype(self.dtype)
 
 
 class SubBatchNorm(nn.Module):

@@ -25,14 +25,26 @@ def host_feature_fingerprint() -> str:
     part of the key. A mismatched host/toolchain simply gets a cold cache
     instead of a foreign binary."""
     feats = ""
+    model = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.lower().startswith(("flags", "features")):
+                low = line.lower()
+                if not feats and low.startswith(("flags", "features")):
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                if not model and low.startswith(("model name", "model",
+                                                 "stepping")):
+                    # LLVM's feature/tuning detection keys off the CPU
+                    # model, not just the flag list — two hosts with
+                    # identical cpuinfo flags produced incompatible AOT
+                    # entries (round-5 `cpu_aot_loader` mismatch logs), so
+                    # the model/stepping lines join the key.
+                    model += line.strip() + ";"
+                if feats and model.count(";") >= 2:
                     break
     except OSError:
         pass
+    feats += f"|{model}"
     if not feats:
         feats = f"{platform.machine()}:{platform.processor()}"
     try:
