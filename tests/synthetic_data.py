@@ -54,8 +54,9 @@ def make_synthetic_ucf(root: str, n_classes: int = 3, videos_per_class: int = 4,
 
 
 def make_overlapping_ucf(root: str, n_classes: int = 4,
-                         videos_per_class: int = 10, n_frames: int = 12,
-                         size: int = 32, seed: int = 3):
+                         videos_per_class: int = 16, n_frames: int = 12,
+                         size: int = 32, seed: int = 3,
+                         val_per_class: int = 8):
     """NON-separable variant for learning-dynamics tests: class color means
     sit close together with per-video brightness offsets and heavy
     per-frame noise, so an untrained encoder's first clustering lands at a
@@ -78,7 +79,7 @@ def make_overlapping_ucf(root: str, n_classes: int = 4,
     for c, label in enumerate(labels):
         for v in range(videos_per_class):
             vid = f"v_{label}_g{v:02d}_c01"
-            subset = ("training" if v < videos_per_class - 2
+            subset = ("training" if v < videos_per_class - val_per_class
                       else "validation")
             vdir = os.path.join(jpg_root, label, vid)
             os.makedirs(vdir, exist_ok=True)

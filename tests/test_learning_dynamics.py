@@ -47,7 +47,10 @@ def test_iterative_clustering_improves_nmi(tmp_path):
     from video_similarity_search_tpu.config import get_cfg
     from video_similarity_search_tpu.train.driver import train
 
-    vid, ann = make_overlapping_ucf(str(tmp_path / "data"))
+    # LD_TEST_SEED: the 3-seed flake check (ROUND5.md) runs this same
+    # test body over different data seeds
+    seed = int(os.environ.get("LD_TEST_SEED", "3"))
+    vid, ann = make_overlapping_ucf(str(tmp_path / "data"), seed=seed)
     out = str(tmp_path / "out")
     os.makedirs(out)
 
@@ -101,12 +104,11 @@ def test_iterative_clustering_improves_nmi(tmp_path):
     top1 = _read_retrieval_top1(os.path.join(logs,
                                              "global_retrieval_acc.txt"))
     assert len(top1) >= 3, top1
-    # the test split is 8 videos (4 classes), so top-1 moves in 0.125
-    # steps — a single-video flip is sampling noise, not a dynamic.
-    # Assert no COLLAPSE: stays within one video of the start and
-    # clearly above the 0.25 chance level throughout. (The robust
-    # learning signal is the NMI trajectory over the 32 train videos,
-    # asserted above; the old exact non-degradation assert was flaky at
-    # this granularity.)
-    assert top1[-1] >= top1[0] - 0.125 - 1e-6, top1
-    assert min(top1) > 0.25 + 1e-6, top1
+    # STRICT non-degradation (round-4 verdict item 7): the test split is
+    # 32 videos (4 classes x 8 validation), so top-1 moves in 1/32 =
+    # 0.031 steps and a single-video flip no longer swamps the signal
+    # (the round-4 8-video split moved in 0.125 steps and the exact
+    # assert was de-flaked away; scaling the split restores it).
+    # Verified flake-free across 3 data seeds (ROUND5.md).
+    assert top1[-1] >= top1[0] - 1e-6, top1
+    assert min(top1) > 0.25 + 1e-6, top1  # always above chance level
