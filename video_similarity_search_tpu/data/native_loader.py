@@ -27,7 +27,7 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-_ABI_VERSION = 3  # must match vss_loader_version() in vss_loader.cpp
+_ABI_VERSION = 4  # must match vss_loader_version() in vss_loader.cpp
 
 
 def _build() -> bool:

@@ -116,27 +116,32 @@ void resize_window(const uint8_t* src, int h, int w, float sy, float sx,
   }
 }
 
-// Legacy full-frame resize + integer center/corner crop (kept as the
-// shared implementation behind both C entry points).
-void resize_crop(const uint8_t* src, int h, int w, int oh, int ow,
-                 int crop_top, int crop_left, int out, uint8_t* dst) {
-  const float sy = oh > 1 ? static_cast<float>(h - 1) / (oh - 1) : 0.f;
-  const float sx = ow > 1 ? static_cast<float>(w - 1) / (ow - 1) : 0.f;
-  resize_window(src, h, w, sy, sx, crop_top * sy, crop_left * sx, out, dst);
-}
-
 // Decode one JPEG into RGB pixels, DCT-downscaling so that the source
-// extent that will be resampled to `out_size` stays >= out_size.
-// (crop_h, crop_w) is the RRC window in (box_h, box_w)-frame coordinates
-// (crop_h <= 0: no window — use the image short edge); box_h/box_w <= 0
-// means the window is already in this frame's own pixel coordinates.
-// On success fills pixels/h/w, the DCT scale factor actually applied
-// (output = original / *denom), and the per-axis box->frame rescale
-// factors ry/rx (frames stored at a different resolution than the frame
-// the box was sampled from get the SAME relative window).
-bool decode_pixels(const char* path, float crop_h, float crop_w,
-                   float box_h, float box_w, int out_size,
+// extent that will be resampled to `out_size` stays >= out_size, and —
+// when a sampling window is known up front — decoding ONLY the region
+// the resampler will touch (round-5): columns are restricted with
+// jpeg_crop_scanline (iMCU-aligned), rows above the window are skipped
+// with jpeg_skip_scanlines (their IDCT/color conversion never runs) and
+// decoding aborts after the window's last row. For a typical
+// RandomResizedCrop window this saves most of the post-entropy work of
+// the frame; numerics of the decoded region are identical to a full
+// decode (block IDCT is independent; crop/skip keep upsampling context).
+//
+// (crop_top, crop_left, crop_h, crop_w) is the window in (box_h, box_w)-
+// frame coordinates (crop_h <= 0: no window). eval_center: no explicit
+// window, but the caller will short-edge-resize + center-crop to
+// out_size^2, so the needed region is computed from that protocol.
+// On success fills pixels (region of (*h rows, *w cols) whose origin in
+// full DCT-scaled output coordinates is (*y_off, *x_off)), the DCT
+// scale factor applied (output = original / *denom), the full scaled
+// dims (*full_h, *full_w), and the per-axis box->frame rescale factors
+// ry/rx (frames stored at a different resolution than the frame the box
+// was sampled from get the SAME relative window).
+bool decode_pixels(const char* path, float crop_top, float crop_left,
+                   float crop_h, float crop_w, float box_h, float box_w,
+                   int out_size, int eval_center,
                    std::vector<uint8_t>& pixels, int* h, int* w,
+                   int* y_off, int* x_off, int* full_h, int* full_w,
                    int* denom_out, float* ry_out, float* rx_out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
@@ -175,42 +180,137 @@ bool decode_pixels(const char* path, float crop_h, float crop_w,
   cinfo.out_color_space = JCS_RGB;
 
   jpeg_start_decompress(&cinfo);
-  *h = cinfo.output_height;
-  *w = cinfo.output_width;
+  const int oh = cinfo.output_height;
+  const int ow = cinfo.output_width;
+  *full_h = oh;
+  *full_w = ow;
   *denom_out = denom;
-  pixels.resize(static_cast<size_t>(*h) * *w * 3);
-  while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = pixels.data() + static_cast<size_t>(
-                                       cinfo.output_scanline) * *w * 3;
-    jpeg_read_scanlines(&cinfo, &row, 1);
+
+  // The sampling window in DCT-scaled output coordinates: [wy0f, wy1f] x
+  // [wx0f, wx1f] are the float extremes the bilinear resampler reads
+  // (its x1/y1 neighbors add +1; margin +2 absorbs the float box->frame
+  // rescale and DCT ceil-rounding slack).
+  float wy0f = 0.f, wx0f = 0.f;
+  float wy1f = static_cast<float>(oh - 1), wx1f = static_cast<float>(ow - 1);
+  bool windowed = false;
+  const float inv = 1.0f / denom;
+  if (crop_h > 0.f) {
+    const float ch = crop_h * ry * inv;
+    const float cw = crop_w * rx * inv;
+    wy0f = crop_top * ry * inv;
+    wx0f = crop_left * rx * inv;
+    wy1f = wy0f + (ch > 1.f ? ch - 1.f : 0.f);
+    wx1f = wx0f + (cw > 1.f ? cw - 1.f : 0.f);
+    windowed = true;
+  } else if (eval_center) {
+    // mirror decode_one's eval protocol: short-edge resize to out_size,
+    // center crop out_size^2 — sampled rows are top*sy .. (top+out-1)*sy
+    const int mn = oh < ow ? oh : ow;
+    const float s = static_cast<float>(out_size) / mn;
+    const int rh = static_cast<int>(std::lround(oh * s));
+    const int rw = static_cast<int>(std::lround(ow * s));
+    const float sy = rh > 1 ? static_cast<float>(oh - 1) / (rh - 1) : 0.f;
+    const float sx = rw > 1 ? static_cast<float>(ow - 1) / (rw - 1) : 0.f;
+    const int top = (rh - out_size) / 2 > 0 ? (rh - out_size) / 2 : 0;
+    const int left = (rw - out_size) / 2 > 0 ? (rw - out_size) / 2 : 0;
+    wy0f = top * sy;
+    wx0f = left * sx;
+    wy1f = wy0f + (out_size - 1) * sy;
+    wx1f = wx0f + (out_size - 1) * sx;
+    windowed = true;
   }
-  jpeg_finish_decompress(&cinfo);
+
+  int y0 = 0, y1 = oh, x0 = 0, x1 = ow;
+  if (windowed) {
+    y0 = static_cast<int>(wy0f) - 2;
+    x0 = static_cast<int>(wx0f) - 2;
+    y1 = static_cast<int>(wy1f) + 4;  // +1 bilinear neighbor, +margin
+    x1 = static_cast<int>(wx1f) + 4;
+    if (y0 < 0) y0 = 0;
+    if (x0 < 0) x0 = 0;
+    if (y1 > oh) y1 = oh;
+    if (x1 > ow) x1 = ow;
+    // Only pay the crop/skip machinery when it saves real work: a
+    // near-full window (e.g. eval center-crop of a landscape frame, or
+    // an RRC crop that DCT scaling already shrank to most of the scaled
+    // frame) measured ~2-3% SLOWER through jpeg_crop_scanline than a
+    // straight full decode (decode_bench_r5.py round-5 A/B).
+    const double frac = static_cast<double>(y1 - y0) * (x1 - x0) /
+                        (static_cast<double>(oh) * ow);
+    if (frac > 0.75) {
+      y0 = 0;
+      x0 = 0;
+      y1 = oh;
+      x1 = ow;
+      windowed = false;
+    }
+  }
+
+  // column restriction (iMCU-aligned; the library widens the request)
+  JDIMENSION cx = static_cast<JDIMENSION>(x0);
+  JDIMENSION cw_req = static_cast<JDIMENSION>(x1 - x0);
+  if (windowed && (x0 > 0 || x1 < ow)) {
+    jpeg_crop_scanline(&cinfo, &cx, &cw_req);
+    *x_off = static_cast<int>(cx);
+    *w = static_cast<int>(cw_req);
+  } else {
+    *x_off = 0;
+    *w = ow;
+  }
+  // skip rows above the window (entropy-decoded but no IDCT/color conv)
+  if (y0 > 0) {
+    jpeg_skip_scanlines(&cinfo, static_cast<JDIMENSION>(y0));
+  }
+  *y_off = static_cast<int>(cinfo.output_scanline);
+  const int rows = y1 - *y_off;
+  *h = rows > 0 ? rows : 0;
+  pixels.resize(static_cast<size_t>(*h) * *w * 3);
+  int r = 0;
+  while (r < *h && cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = pixels.data() + static_cast<size_t>(r) * *w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+    ++r;
+  }
+  if (cinfo.output_scanline >= cinfo.output_height) {
+    jpeg_finish_decompress(&cinfo);
+  } else {
+    jpeg_abort_decompress(&cinfo);  // rows below the window never decode
+  }
   jpeg_destroy_decompress(&cinfo);
   std::fclose(f);
-  return true;
+  return r == *h && *h > 0;
 }
 
 // Decode one JPEG file into RGB; returns false on failure.
 bool decode_one(const char* path, int out_size, int eval_mode,
                 uint8_t* dst) {
   std::vector<uint8_t> pixels;
-  int h, w, denom;
-  if (!decode_pixels(path, -1.f, -1.f, -1.f, -1.f, out_size, pixels, &h,
-                     &w, &denom, nullptr, nullptr))
+  int h, w, y_off, x_off, full_h, full_w, denom;
+  if (!decode_pixels(path, -1.f, -1.f, -1.f, -1.f, -1.f, -1.f, out_size,
+                     eval_mode, pixels, &h, &w, &y_off, &x_off, &full_h,
+                     &full_w, &denom, nullptr, nullptr))
     return false;
 
   if (eval_mode) {
-    // short-edge resize to out_size, center crop out_size^2
-    const int mn = h < w ? h : w;
+    // short-edge resize to out_size, center crop out_size^2 — window
+    // computed against the FULL scaled dims, sampled from the decoded
+    // region via the (y_off, x_off) origin shift
+    const int mn = full_h < full_w ? full_h : full_w;
     const float s = static_cast<float>(out_size) / mn;
-    const int oh = static_cast<int>(std::lround(h * s));
-    const int ow = static_cast<int>(std::lround(w * s));
+    const int oh = static_cast<int>(std::lround(full_h * s));
+    const int ow = static_cast<int>(std::lround(full_w * s));
     const int top = (oh - out_size) / 2 > 0 ? (oh - out_size) / 2 : 0;
     const int left = (ow - out_size) / 2 > 0 ? (ow - out_size) / 2 : 0;
-    resize_crop(pixels.data(), h, w, oh, ow, top, left, out_size, dst);
+    const float sy = oh > 1 ? static_cast<float>(full_h - 1) / (oh - 1) : 0.f;
+    const float sx = ow > 1 ? static_cast<float>(full_w - 1) / (ow - 1) : 0.f;
+    resize_window(pixels.data(), h, w, sy, sx, top * sy - y_off,
+                  left * sx - x_off, out_size, dst);
   } else {
-    resize_crop(pixels.data(), h, w, out_size, out_size, 0, 0, out_size,
-                dst);
+    const float sy = out_size > 1
+        ? static_cast<float>(full_h - 1) / (out_size - 1) : 0.f;
+    const float sx = out_size > 1
+        ? static_cast<float>(full_w - 1) / (out_size - 1) : 0.f;
+    resize_window(pixels.data(), h, w, sy, sx, 0.f, 0.f, out_size, dst);
   }
   return true;
 }
@@ -224,18 +324,20 @@ bool decode_one_rrc(const char* path, float top, float left, float crop_h,
                     float crop_w, float box_h, float box_w, int out_size,
                     uint8_t* dst) {
   std::vector<uint8_t> pixels;
-  int h, w, denom;
+  int h, w, y_off, x_off, full_h, full_w, denom;
   float ry, rx;
-  if (!decode_pixels(path, crop_h, crop_w, box_h, box_w, out_size, pixels,
-                     &h, &w, &denom, &ry, &rx))
+  if (!decode_pixels(path, top, left, crop_h, crop_w, box_h, box_w,
+                     out_size, 0, pixels, &h, &w, &y_off, &x_off, &full_h,
+                     &full_w, &denom, &ry, &rx))
     return false;
   const float inv = 1.0f / denom;  // crop coords in the decoded scale
   const float ch = crop_h * ry * inv;
   const float cw = crop_w * rx * inv;
   const float sy = out_size > 1 ? (ch - 1.f) / (out_size - 1) : 0.f;
   const float sx = out_size > 1 ? (cw - 1.f) / (out_size - 1) : 0.f;
-  resize_window(pixels.data(), h, w, sy, sx, top * ry * inv,
-                left * rx * inv, out_size, dst);
+  // window origin shifted into the decoded region's coordinates
+  resize_window(pixels.data(), h, w, sy, sx, top * ry * inv - y_off,
+                left * rx * inv - x_off, out_size, dst);
   return true;
 }
 
@@ -313,4 +415,4 @@ extern "C" int vss_decode_frames_rrc(const char** paths, int n_frames,
   return failed.load();
 }
 
-extern "C" int vss_loader_version() { return 3; }
+extern "C" int vss_loader_version() { return 4; }
