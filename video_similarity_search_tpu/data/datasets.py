@@ -27,7 +27,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .loaders import VideoLoader
+from .loaders import ImageLoaderPIL, VideoLoader
 from .manifests import default_image_name_formatter
 from .temporal import Shuffle, get_test_video_frame_indices, \
     temporal_ds_frame_indices
@@ -182,7 +182,15 @@ class ClipReader:
                         box_h=bh, box_w=bw)
                 except RuntimeError:
                     pass
-        frames = self._read(self.loader, video_path, frame_indices)
+        # PIL fallback with DCT-draft scaling: the decoded crop window only
+        # needs to stay >= rrc_size, so frames whose window is k x larger can
+        # decode at 1/k scale (k in {2,4,8}); _crop_resize_frames rescales
+        # the box by the actual decoded dims, so coordinates stay exact.
+        min_dim = None
+        if box_dims is not None:
+            k = max(1, int(min(box[2], box[3]) // self.rrc_size))
+            min_dim = max(self.rrc_size, -(-min(box_dims) // k))
+        frames = self._read_rgb_drafted(video_path, frame_indices, min_dim)
         return self._crop_resize_frames(frames, box, self.rrc_size,
                                         box_dims)
 
@@ -204,6 +212,18 @@ class ClipReader:
             except (OSError, FileNotFoundError):
                 continue
         return None
+
+    def _read_rgb_drafted(self, video_path: str, frame_indices,
+                          min_dim: Optional[int]) -> List[np.ndarray]:
+        """PIL read of the RGB view with a DCT-draft hint: the decoded short
+        side stays >= ``min_dim`` while 2-8x-larger sources decode at
+        1/2-1/8 scale in the DCT domain (loaders.ImageLoaderPIL). Callers
+        resize/crop afterwards, so only decode cost changes."""
+        loader = self.loader
+        if min_dim:
+            loader = VideoLoader(self.loader.image_name_formatter,
+                                 ImageLoaderPIL(min_dim=min_dim))
+        return self._read(loader, video_path, frame_indices)
 
     def _read(self, loader, path, frame_indices) -> List[np.ndarray]:
         frames = loader(path, frame_indices)
@@ -236,8 +256,10 @@ class ClipReader:
                         paths, self.buffer_size, self.eval_mode)
                 except RuntimeError:
                     pass
-        return self._buffered(self._read(self.loader, video_path,
-                                         frame_indices))
+        # PIL fallback: both train (square resize) and eval (short-edge
+        # resize + center crop) only need the short side >= buffer_size.
+        return self._buffered(self._read_rgb_drafted(
+            video_path, frame_indices, self.buffer_size))
 
     def load(self, sample: dict, frame_indices: Sequence[int],
              use_channel_ext: bool = True,

@@ -20,13 +20,25 @@ def _to_uint8_rgb(img) -> np.ndarray:
 
 
 class ImageLoaderPIL:
-    """Per-frame JPEG via PIL (reference datasets/loader.py:10-21)."""
+    """Per-frame JPEG via PIL (reference datasets/loader.py:10-21).
+
+    ``min_dim``: optional DCT-draft hint. When the consumer only needs the
+    decoded short side to stay >= ``min_dim`` (it crops/resizes afterwards),
+    libjpeg can decode at 1/2, 1/4 or 1/8 scale straight from the DCT
+    coefficients (``Image.draft``) — the same scaled-decode trick the native
+    loader uses (native/vss_loader.cpp). Non-JPEG formats ignore the hint.
+    Default None decodes at full resolution (exact reference behavior)."""
+
+    def __init__(self, min_dim: Optional[int] = None):
+        self.min_dim = min_dim
 
     def __call__(self, path: str) -> np.ndarray:
         from PIL import Image
 
         with open(path, "rb") as f:
             with Image.open(f) as img:
+                if self.min_dim:
+                    img.draft(None, (self.min_dim, self.min_dim))
                 return _to_uint8_rgb(img)
 
 
