@@ -48,7 +48,7 @@ from video_similarity_search_tpu.utils.flops import (chip_peak_tflops,
 # utils/ramp_guard.py) applies only to genuinely new experiments — e.g. an
 # env-overridden BENCH_BATCH.
 _PROVEN_SHAPES = [
-    "r3d18/embed/b256",
+    "r3d18/embed/b256/i10",
     "r3d18/train/b104/accum1",
     "r3d18/train/b64/accum1",
     "r3d18/train/b256/accum4",
@@ -62,24 +62,19 @@ def _probe_device(timeout_s: float = 180.0):
     (observed round 4 after a killed server-side compile), which would
     leave the bench record empty. A daemon-thread probe turns that into
     an explicit error line. Returns the device list on success."""
-    import threading
+    from video_similarity_search_tpu.utils.watchdog import run_with_watchdog
 
-    out = {}
-
-    def probe():
-        out["devices"] = jax.devices()
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if "devices" not in out:
+    status, payload = run_with_watchdog(jax.devices, timeout_s)
+    if status != "ok":
+        detail = (f"device init raised {payload!r}" if status == "error"
+                  else f"device init did not return within {timeout_s:.0f}s "
+                       "(remote-TPU tunnel unreachable)")
         print(json.dumps({
             "metric": "r3d18_embed_clips_per_sec_per_chip",
             "value": 0.0, "unit": "clips/s", "vs_baseline": 0.0,
-            "error": f"device init did not return within {timeout_s:.0f}s "
-                     "(remote-TPU tunnel unreachable)"}))
-        os._exit(3)  # the probe thread is stuck in C; no clean exit
-    return out["devices"]
+            "error": detail}))
+        os._exit(3)  # the probe thread may be stuck in C; no clean exit
+    return payload
 
 
 def main():
@@ -131,7 +126,10 @@ def main():
     # compile rides the ramp guard: liveness-probed, and a non-proven
     # BENCH_BATCH counts against the one-new-shape-per-invocation budget.
     ramp_guard.guarded_compile(
-        f"r3d18/embed/b{batch}",
+        # n_iters is baked into the scanned program: a changed
+        # BENCH_ITERS is a genuinely new (bigger) compile, so it
+        # must key separately and count against the ramp budget.
+        f"r3d18/embed/b{batch}/i{n_iters}",
         lambda: float(embed_many(params, stats, x, jnp.float32(-1))))
 
     best = float("inf")

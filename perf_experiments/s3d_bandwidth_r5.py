@@ -82,18 +82,21 @@ def main():
     # XLA's own cost model over the WHOLE compiled program (n_iters fwds)
     lowered = embed_many.lower(variables, x, jnp.float32(0))
     compiled = ramp_guard.guarded_compile(
-        f"{name}/bandwidth/b{b}", lowered.compile)
+        f"{name}/bandwidth/b{b}/i{n_iters}", lowered.compile)
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
     xla_flops = float(ca.get("flops", 0.0))
     xla_bytes = float(ca.get("bytes accessed", 0.0))
 
-    float(embed_many(variables, x, jnp.float32(-1)))  # warm (exec path)
+    # Execute the guarded AOT executable directly: calling embed_many()
+    # here would re-trace and issue a SECOND, unguarded server-side
+    # compile (the jit dispatch cache does not reuse lowered.compile()).
+    float(compiled(variables, x, jnp.float32(-1)))  # warm (exec path)
     best = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
-        float(embed_many(variables, x, jnp.float32(rep)))
+        float(compiled(variables, x, jnp.float32(rep)))
         best = min(best, time.perf_counter() - t0)
 
     kind = jax.devices()[0].device_kind
@@ -120,7 +123,7 @@ def main():
 
     if args.profile:
         with jax.profiler.trace(args.profile):
-            float(embed_many(variables, x, jnp.float32(99)))
+            float(compiled(variables, x, jnp.float32(99)))
         print(f"xplane trace -> {args.profile}; parse with "
               "perf_experiments/profile_bwd_r4.py-style category table")
 

@@ -70,7 +70,7 @@ def measure(name, batch, n_iters):
         return acc
 
     ramp_guard.guarded_compile(
-        f"{name}/embed/b{batch}",
+        f"{name}/embed/b{batch}/i{n_iters}",  # scan length is part of the program
         lambda: float(embed_many(variables, x, jnp.float32(-1))))
     best = float("inf")
     for rep in range(3):

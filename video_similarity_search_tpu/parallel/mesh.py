@@ -131,17 +131,29 @@ def maybe_auto_initialize() -> None:
     RuntimeError, which is swallowed (already initialized = done)."""
     if not multihost_env():
         return
+
+    def _already_initialized() -> bool:
+        # State check first (version-stable); jax's error TEXT is only a
+        # fallback signal and may be reworded across releases.
+        try:
+            from jax._src import distributed as _dist
+            return _dist.global_state.client is not None
+        except Exception:  # noqa: BLE001 — internal layout moved
+            return False
+
+    if _already_initialized():
+        return
     try:
         jax.distributed.initialize()
     except RuntimeError as e:
         # ONLY the already-initialized case is benign (explicit
-        # --num_shards path ran first). Anything else — unreachable
-        # coordinator, bad topology env — must not be swallowed: that
-        # would silently degrade a pod-slice launch into per-host
-        # isolated jobs, the exact failure this function exists to
-        # prevent (jax raises "distributed.initialize should only be
-        # called once." for the benign case).
-        if "only be called once" not in str(e):
+        # --num_shards path ran first, possibly racing this check).
+        # Anything else — unreachable coordinator, bad topology env —
+        # must not be swallowed: that would silently degrade a pod-slice
+        # launch into per-host isolated jobs, the exact failure this
+        # function exists to prevent.
+        if not (_already_initialized()
+                or "only be called once" in str(e)):
             raise
 
 

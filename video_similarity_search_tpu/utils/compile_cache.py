@@ -25,27 +25,41 @@ def host_feature_fingerprint() -> str:
     part of the key. A mismatched host/toolchain simply gets a cold cache
     instead of a foreign binary."""
     feats = ""
-    model = ""
+    # LLVM's feature/tuning detection keys off more than the flag list —
+    # two hosts with identical cpuinfo flags produced incompatible AOT
+    # entries (round-5 `cpu_aot_loader` mismatch logs) — so one of each
+    # identity line joins the key: model name/model/stepping, AND the
+    # `bugs` line: LLVM sets tuning attrs like `+prefer-no-gather` from
+    # the Downfall (GDS) mitigation state, which is invisible in
+    # flags/model/stepping but surfaces in `bugs` and the vulnerability
+    # sysfs file (observed round 5: same flags+model+stepping, one host
+    # compiled with +prefer-no-gather, the other rejected the entry).
+    model_lines = {}
+    id_keys = ("model name", "model", "stepping", "bugs")
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 low = line.lower()
                 if not feats and low.startswith(("flags", "features")):
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                if not model and low.startswith(("model name", "model",
-                                                 "stepping")):
-                    # LLVM's feature/tuning detection keys off the CPU
-                    # model, not just the flag list — two hosts with
-                    # identical cpuinfo flags produced incompatible AOT
-                    # entries (round-5 `cpu_aot_loader` mismatch logs), so
-                    # the model/stepping lines join the key.
-                    model += line.strip() + ";"
-                if feats and model.count(";") >= 2:
+                for key in id_keys:
+                    if key not in model_lines and low.startswith(key):
+                        model_lines[key] = line.strip()
+                        break
+                if feats and len(model_lines) >= len(id_keys):
                     break
     except OSError:
         pass
-    feats += f"|{model}"
-    if not feats:
+    try:
+        with open("/sys/devices/system/cpu/vulnerabilities/"
+                  "gather_data_sampling") as f:
+            model_lines["gds"] = f"gds: {f.read().strip()}"
+    except OSError:
+        pass
+    model = ";".join(model_lines[k] for k in sorted(model_lines))
+    if feats or model:
+        feats += f"|{model}"
+    else:
         feats = f"{platform.machine()}:{platform.processor()}"
     try:
         import jaxlib

@@ -80,6 +80,18 @@ def _save_ledger(ledger: dict) -> None:
     os.replace(tmp, path)
 
 
+def _record(full_key: str, entry: dict) -> None:
+    """Merge one entry into the on-disk ledger, RE-LOADING it first: a
+    guarded compile can take many minutes, and writing back the dict
+    loaded before ``fn()`` would clobber keys recorded concurrently by
+    other harness processes (they would then re-count as 'new' and burn
+    later invocations' ramp budgets). The re-load shrinks the lost-update
+    window from the whole compile to microseconds."""
+    ledger = _load_ledger()
+    ledger[full_key] = entry
+    _save_ledger(ledger)
+
+
 def _device_kind() -> str:
     import jax
     return jax.devices()[0].device_kind.replace(" ", "_")
@@ -90,25 +102,17 @@ def probe_liveness(timeout_s: float = 90.0) -> None:
     materialize within ``timeout_s``. On the axon platform
     ``block_until_ready`` can return early (memory:
     axon-tunnel-measurement-traps), so the probe materializes a scalar
-    with ``float()``. Runs on a daemon thread — a wedged backend blocks
-    in C and cannot be interrupted, so the thread is abandoned and
-    :class:`DeviceDeadError` raised."""
+    with ``float()``, watchdog-bounded (utils/watchdog.py) so a wedged
+    backend raises :class:`DeviceDeadError` instead of blocking."""
     import jax.numpy as jnp
 
-    out = {}
+    from .watchdog import run_with_watchdog
 
-    def probe():
-        try:
-            out["v"] = float(jnp.asarray(1.0) + 1.0)
-        except Exception as e:  # noqa: BLE001
-            out["err"] = e
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if "err" in out:
-        raise DeviceDeadError(f"liveness probe errored: {out['err']!r}")
-    if "v" not in out:
+    status, payload = run_with_watchdog(
+        lambda: float(jnp.asarray(1.0) + 1.0), timeout_s)
+    if status == "error":
+        raise DeviceDeadError(f"liveness probe errored: {payload!r}")
+    if status == "timeout":
         raise DeviceDeadError(
             f"liveness probe did not materialize within {timeout_s:.0f}s "
             "— device/tunnel wedged; refusing to issue further compiles")
@@ -172,6 +176,5 @@ def guarded_compile(key: str, fn, *, probe_timeout_s: float = 90.0,
                     "VSS_RAMP_MAX_NEW.")
             _NEW_KEYS_THIS_PROCESS.add(full_key)
     result = fn()
-    ledger[full_key] = {"ok": True, "t": int(time.time())}
-    _save_ledger(ledger)
+    _record(full_key, {"ok": True, "t": int(time.time())})
     return result
