@@ -87,3 +87,23 @@ def test_liveness_probe_bounds_wedged_device(monkeypatch):
 
 def test_real_probe_passes_on_cpu_backend():
     rg.probe_liveness(timeout_s=30.0)
+
+
+def test_probe_timeout_env_overridable(monkeypatch):
+    """VSS_PROBE_TIMEOUT_S widens the default probe bound (congested but
+    alive tunnels: round-5 observed 39 s for init + one scalar while a
+    server-side compile drained, vs the 90 s hardcoded default)."""
+    seen = []
+
+    def fake_watchdog(fn, timeout_s):
+        seen.append(timeout_s)
+        return "ok", 2.0
+
+    import video_similarity_search_tpu.utils.watchdog as wd
+    monkeypatch.setattr(wd, "run_with_watchdog", fake_watchdog)
+    monkeypatch.setenv("VSS_PROBE_TIMEOUT_S", "240")
+    rg.probe_liveness()
+    assert seen == [240.0]
+    # explicit argument still wins over the env default
+    rg.probe_liveness(timeout_s=5.0)
+    assert seen == [240.0, 5.0]

@@ -97,16 +97,24 @@ def _device_kind() -> str:
     return jax.devices()[0].device_kind.replace(" ", "_")
 
 
-def probe_liveness(timeout_s: float = 90.0) -> None:
+def probe_liveness(timeout_s: float = None) -> None:
     """Dispatch a trivial computation and require the RESULT to
     materialize within ``timeout_s``. On the axon platform
     ``block_until_ready`` can return early (memory:
     axon-tunnel-measurement-traps), so the probe materializes a scalar
     with ``float()``, watchdog-bounded (utils/watchdog.py) so a wedged
-    backend raises :class:`DeviceDeadError` instead of blocking."""
+    backend raises :class:`DeviceDeadError` instead of blocking.
+
+    ``timeout_s`` defaults to ``VSS_PROBE_TIMEOUT_S`` (else 90 s): on a
+    congested-but-alive tunnel (observed round 5: 39 s for backend init +
+    one scalar while a server-side compile drained) the 90 s default can
+    false-positive; widening via env beats editing every harness."""
     import jax.numpy as jnp
 
     from .watchdog import run_with_watchdog
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("VSS_PROBE_TIMEOUT_S", "90"))
 
     status, payload = run_with_watchdog(
         lambda: float(jnp.asarray(1.0) + 1.0), timeout_s)
@@ -143,7 +151,7 @@ def reset_process_budget() -> None:
         _NEW_KEYS_THIS_PROCESS.clear()
 
 
-def guarded_compile(key: str, fn, *, probe_timeout_s: float = 90.0,
+def guarded_compile(key: str, fn, *, probe_timeout_s: float = None,
                     probe: bool = True):
     """Run ``fn()`` (a call that may trigger a fresh XLA compile) under
     the ramp policy.
